@@ -1,0 +1,83 @@
+"""Device mesh + distributed initialization.
+
+Replaces the reference's NCCL process-group setup
+(ref: utils/utils.py:249-282 `init_distributed_mode`) with the JAX model:
+one process per host, all devices visible, collectives inserted by XLA
+under `jit` according to sharding annotations.
+
+Mesh axes:
+  data  — batch (data parallel; gradient psum rides ICI)
+  model — optional tensor-parallel axis for the ViT MLP/attention heads
+          (capability beyond the reference, which is DP-only; SURVEY §2.8)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_init_distributed() -> None:
+    """Initialize multi-host JAX if launched under a known launcher.
+
+    Single-host (the common case, incl. tests) is a no-op; mirrors the
+    reference's single-GPU fallback (utils/utils.py:261-265).
+    """
+    if os.environ.get("DEVIAS_TPU_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["DEVIAS_TPU_COORDINATOR"],
+            num_processes=int(os.environ.get("DEVIAS_TPU_NUM_PROCS", "1")),
+            process_id=int(os.environ.get("DEVIAS_TPU_PROC_ID", "0")),
+        )
+
+
+def device_count() -> int:
+    return jax.device_count()
+
+
+def make_mesh(
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (data, model) mesh over all devices.
+
+    model_parallel=1 gives pure DP — the reference's only strategy
+    (DDP/DeepSpeed ZeRO-0; SURVEY §2.8).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
+    """Per-host batch size for the host-side data loader."""
+    n_data = mesh.shape[DATA_AXIS]
+    if global_batch % n_data != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by data axis {n_data}")
+    hosts = jax.process_count()
+    return global_batch // hosts
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place a host-local batch pytree onto the mesh, sharded over data axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

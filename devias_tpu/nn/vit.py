@@ -1,0 +1,296 @@
+"""VideoMAE-style video Vision Transformer backbone, TPU-native.
+
+Capability parity with the reference ViT (ref: model/modeling_slot.py:70-177,
+219-377 and model/modeling_finetune.py:178-325), re-designed for XLA/TPU:
+
+* channels-last input [B, T, H, W, C] (TPU-native layout; the reference is
+  NCTHW).
+* tubelet patch embedding as reshape + one big matmul (maps straight onto
+  the MXU; the reference uses cuDNN Conv3d with kernel == stride, which is
+  mathematically the same linear map — ref model/modeling_slot.py:155-177).
+* fused QKV projection with the VideoMAE bias convention: learnable q/v
+  biases, zero k bias (ref model/modeling_slot.py:83-99).
+* fixed (non-learned) sinusoid position table added with stop_gradient
+  (ref model/modeling_slot.py:181-191, 354-355).
+* static shapes, scan-free block stack (12 blocks unrolled — XLA fuses),
+  optional remat for memory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def sinusoid_position_table(n_position: int, d_hid: int) -> np.ndarray:
+    """Fixed sine/cosine table, bit-identical to the reference
+    (ref: model/modeling_slot.py:181-191): angle[p, j] = p / 10000^(2(j//2)/d);
+    even dims sin, odd dims cos."""
+    pos = np.arange(n_position, dtype=np.float64)[:, None]
+    j = np.arange(d_hid, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, 2.0 * (j // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), dtype=np.float64)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table.astype(np.float32)
+
+
+def drop_path(
+    x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jax.Array:
+    """Per-sample stochastic depth (timm `drop_path` semantics: scale kept
+    samples by 1/keep_prob)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape=shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> GELU -> fc2 -> dropout
+    (ref: model/modeling_slot.py:50-67 — note the reference drops only after
+    fc2, not between)."""
+
+    hidden_dim: int
+    out_dim: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc02, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=trunc02, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with the VideoMAE fused-QKV bias trick:
+    one [D, 3D] kernel, learnable q_bias and v_bias, k bias fixed to zero
+    (ref: model/modeling_slot.py:70-117)."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_attn: bool = False):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+
+        qkv_kernel = self.param("qkv_kernel", trunc02, (C, 3 * C), jnp.float32)
+        qkv = jnp.einsum("bnc,cd->bnd", x, qkv_kernel.astype(self.dtype))
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (C,), jnp.float32)
+            v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            qkv = qkv + bias.astype(self.dtype)
+
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc02, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if return_attn:
+            return out, attn
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with DropPath and optional LayerScale
+    (ref: model/modeling_slot.py:120-152)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: float = 0.0
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        C = x.shape[-1]
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        y = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="attn",
+        )(y, deterministic=deterministic)
+        if self.init_values > 0:
+            gamma_1 = self.param(
+                "gamma_1", nn.initializers.constant(self.init_values), (C,), jnp.float32
+            )
+            y = y * gamma_1.astype(self.dtype)
+        rng = None if deterministic else self.make_rng("drop_path")
+        x = x + drop_path(y, self.drop_path_rate, deterministic, rng)
+
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(
+            hidden_dim=int(C * self.mlp_ratio),
+            out_dim=C,
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        if self.init_values > 0:
+            gamma_2 = self.param(
+                "gamma_2", nn.initializers.constant(self.init_values), (C,), jnp.float32
+            )
+            y = y * gamma_2.astype(self.dtype)
+        rng = None if deterministic else self.make_rng("drop_path")
+        x = x + drop_path(y, self.drop_path_rate, deterministic, rng)
+        return x
+
+
+class PatchEmbed3D(nn.Module):
+    """Tubelet patch embedding as reshape + matmul (MXU-friendly).
+
+    Equivalent to the reference Conv3d(kernel=stride=(tubelet, p, p))
+    followed by flatten+transpose (ref: model/modeling_slot.py:155-177).
+    Token order is (t, h, w), matching the reference's flatten(2) of
+    [B, D, T', H', W']. Kernel is stored as [tubelet*p*p*C, D] with the
+    flattened patch laid out in (t, ph, pw, c) order.
+    """
+
+    embed_dim: int = 768
+    patch_size: int = 16
+    tubelet_size: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        p, tb = self.patch_size, self.tubelet_size
+        if H % p or W % p or T % tb:
+            raise ValueError(f"input {x.shape} not divisible by patch {tb}x{p}x{p}")
+        t, h, w = T // tb, H // p, W // p
+        x = x.reshape(B, t, tb, h, p, w, p, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [B, t, h, w, tb, p, p, C]
+        x = x.reshape(B, t * h * w, tb * p * p * C)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (tb * p * p * C, self.embed_dim),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32)
+        x = jnp.dot(x, kernel.astype(self.dtype)) + bias.astype(self.dtype)
+        return x
+
+
+class VideoViT(nn.Module):
+    """ViT-B/16 video backbone producing patch tokens [B, N, D].
+
+    Matches the reference's forward_features (ref: model/modeling_slot.py:350-377):
+    patch embed -> +fixed sinusoid pos (stop_gradient) -> pos dropout ->
+    depth x Block -> LayerNorm (or Identity when `final_norm=False`, used by
+    the mean-pooling classifier variant, ref modeling_finetune.py:236).
+
+    `use_cls_token=True` prepends a learned CLS token (scene-model variant,
+    ref modeling_finetune.py:214-218); `num_extra_suffix_tokens` appends
+    learned tokens (multi-task scene token, ref modeling_multi_task.py:296-298).
+    """
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: float = 0.0
+    patch_size: int = 16
+    tubelet_size: int = 2
+    norm_eps: float = 1e-6
+    use_learnable_pos_emb: bool = False
+    use_cls_token: bool = False
+    num_extra_suffix_tokens: int = 0
+    final_norm: bool = True
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = PatchEmbed3D(
+            embed_dim=self.embed_dim,
+            patch_size=self.patch_size,
+            tubelet_size=self.tubelet_size,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        B, num_patches, D = x.shape
+
+        n_tokens = num_patches
+        if self.use_cls_token:
+            cls = self.param("cls_token", trunc02, (1, 1, D), jnp.float32)
+            x = jnp.concatenate([jnp.tile(cls.astype(self.dtype), (B, 1, 1)), x], axis=1)
+            n_tokens += 1
+        if self.num_extra_suffix_tokens:
+            extra = self.param(
+                "suffix_tokens",
+                trunc02,
+                (1, self.num_extra_suffix_tokens, D),
+                jnp.float32,
+            )
+            x = jnp.concatenate([x, jnp.tile(extra.astype(self.dtype), (B, 1, 1))], axis=1)
+            n_tokens += self.num_extra_suffix_tokens
+
+        if self.use_learnable_pos_emb:
+            pos = self.param("pos_embed", trunc02, (1, n_tokens, D), jnp.float32)
+            x = x + pos.astype(self.dtype)
+        else:
+            pos = sinusoid_position_table(n_tokens, D)
+            x = x + jax.lax.stop_gradient(jnp.asarray(pos, self.dtype))[None]
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(2,))
+        for i in range(self.depth):
+            x = block_cls(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path_rate=float(dpr[i]),
+                init_values=self.init_values,
+                norm_eps=self.norm_eps,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, deterministic)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
+        return x

@@ -1,0 +1,140 @@
+"""Shape/semantics tests for the four model families."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from devias_tpu.nn import create_model
+
+TINY = dict(depth=2, embed_dim=64, num_heads=4)
+
+
+def _video(b=2, t=4, hw=32):
+    return jnp.asarray(np.random.default_rng(0).normal(size=(b, t, hw, hw, 3)), jnp.float32)
+
+
+def test_slot_vit_shapes():
+    m = create_model(
+        "slot_vit_base_patch16_224",
+        num_classes=10, num_scene_classes=5, num_latents=2, agg_depth=2, **TINY,
+    )
+    x = _video()
+    vs = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(vs, x)
+    n_tokens = (4 // 2) * (32 // 16) ** 2
+    assert out["slots"].shape == (2, 2, 64)
+    assert out["slots_head"].shape == (2, 2, 15)
+    assert out["mask_predictions"].shape == (2, 2, 196)
+    assert out["attn"].shape == (2, 4, 2, n_tokens)
+    assert out["action_feat"].shape == (2, 64)
+    assert out["action_logit"].shape == (2, 15)
+
+
+def test_slot_selection_consistency():
+    """Selected feats/logits must equal the slot at the argmax index
+    (ref modeling_slot.py:395-406)."""
+    m = create_model(
+        "slot_vit_base_patch16_224",
+        num_classes=10, num_scene_classes=5, num_latents=3, agg_depth=2, **TINY,
+    )
+    x = _video()
+    vs = m.init({"params": jax.random.PRNGKey(1)}, x)
+    out = m.apply(vs, x)
+    probs = jax.nn.softmax(out["slots_head"], axis=-1)
+    a_idx = jnp.argmax(probs[..., :10].max(-1), axis=1)
+    np.testing.assert_array_equal(out["action_idx"], a_idx)
+    for b in range(2):
+        np.testing.assert_allclose(
+            out["action_feat"][b], out["slots"][b, a_idx[b]], rtol=1e-6
+        )
+
+
+def test_hard_select_mode():
+    m = create_model(
+        "slot_vit_base_patch16_224",
+        num_classes=10, num_scene_classes=5, num_latents=2, agg_depth=2,
+        slot_matching_method="hard_select", **TINY,
+    )
+    x = _video()
+    vs = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(vs, x)
+    np.testing.assert_allclose(out["action_feat"], out["slots"][:, 0])
+    np.testing.assert_allclose(out["scene_feat"], out["slots"][:, 1])
+
+
+def test_plain_vit_mean_pool_vs_cls():
+    x = _video()
+    for pool in (True, False):
+        m = create_model("vit_base_patch16_224", num_classes=10, use_mean_pooling=pool, **TINY)
+        vs = m.init({"params": jax.random.PRNGKey(0)}, x)
+        out = m.apply(vs, x)
+        assert out["token"].shape == (2, 64)
+        assert out["logits"].shape == (2, 10)
+    # cls variant must actually create a cls token param
+    assert "cls_token" in vs["params"]["backbone"]
+
+
+def test_multi_task_heads():
+    x = _video()
+    m = create_model("disentangle_vit_base_patch16_224", num_classes=10, num_scene_classes=5, **TINY)
+    vs = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(vs, x)
+    assert out["action_logit"].shape == (2, 10)
+    assert out["scene_logit"].shape == (2, 5)
+    m2 = create_model(
+        "disentangle_vit_base_patch16_224",
+        num_classes=10, num_scene_classes=5, unified_head=True, **TINY,
+    )
+    vs2 = m2.init({"params": jax.random.PRNGKey(0)}, x)
+    out2 = m2.apply(vs2, x)
+    assert out2["action_logit"].shape == (2, 15)
+    assert out2["scene_logit"].shape == (2, 15)
+
+
+def test_slot_fusion_concat_and_gap():
+    x = _video()
+    m = create_model(
+        "slot_fusion_vit_base_patch16_224",
+        num_classes=10, num_scene_classes=5, downstream_nb_classes=7, agg_depth=2, **TINY,
+    )
+    vs = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(vs, x)
+    assert out["logits"].shape == (2, 7)
+    assert out["feat"].shape == (2, 128)
+
+    g = create_model(
+        "slot_fusion_vit_base_patch16_224",
+        num_classes=10, num_scene_classes=5, downstream_nb_classes=7,
+        slot_fusion_method="gap", agg_depth=2, **TINY,
+    )
+    vsg = g.init({"params": jax.random.PRNGKey(0)}, x)
+    outg = g.apply(vsg, x)
+    assert outg["logits"].shape == (2, 7)
+
+
+def test_agg_weight_tying_param_count():
+    from devias_tpu.nn import AggregationBlock
+
+    ctx = jnp.zeros((1, 8, 64))
+    tied = AggregationBlock(num_latents=2, latent_dim=64, depth=4, weight_tie=True)
+    untied = AggregationBlock(num_latents=2, latent_dim=64, depth=4, weight_tie=False)
+    n_tied = sum(p.size for p in jax.tree.leaves(tied.init(jax.random.PRNGKey(0), ctx)))
+    n_untied = sum(p.size for p in jax.tree.leaves(untied.init(jax.random.PRNGKey(0), ctx)))
+    assert n_untied > n_tied * 2
+
+
+def test_droppath_train_vs_eval():
+    m = create_model(
+        "vit_base_patch16_224", num_classes=10, drop_path_rate=0.5, **TINY
+    )
+    x = _video()
+    vs = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out_eval = m.apply(vs, x, deterministic=True)
+    out_eval2 = m.apply(vs, x, deterministic=True)
+    np.testing.assert_allclose(out_eval["logits"], out_eval2["logits"])
+    out_train = m.apply(
+        vs, x, deterministic=False,
+        rngs={"drop_path": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+    )
+    assert not np.allclose(out_train["logits"], out_eval["logits"])
