@@ -1,0 +1,100 @@
+"""Benchmark: DEVIAS slot-training throughput (clips/sec/chip) on one TPU.
+
+Measures the full flagship training step — ViT-B/16 student fwd+bwd with
+slot aggregation + Hungarian matching loss + FAME on-device augmentation +
+frozen ViT-B scene-teacher forward + AdamW update — at the reference's
+per-GPU batch size (12 clips, docs/TRAIN.md:20) in bfloat16.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against an A100 estimate for the same step: the
+reference repo publishes no numbers (BASELINE.md), so we use 100
+clips/sec/chip — an upper-band estimate for fp16 DEVIAS training on A100
+(~720 GFLOPs/clip student fwd+bwd + teacher fwd at ~25% MFU).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_CLIPS_PER_SEC_ESTIMATE = 100.0
+BATCH = 12  # reference per-GPU batch (docs/TRAIN.md:20)
+
+
+def main():
+    from devias_tpu.aug.fame import FAMEConfig
+    from devias_tpu.losses import SlotLossConfig
+    from devias_tpu.nn import create_model
+    from devias_tpu.train import (
+        OptimConfig,
+        TrainState,
+        TrainStepConfig,
+        make_optimizer,
+        make_slot_train_step,
+    )
+
+    model = create_model(
+        "slot_vit_base_patch16_224",
+        num_classes=400, num_scene_classes=365, num_latents=2,
+        agg_depth=8, agg_weights_tie=True, dtype=jnp.bfloat16,
+    )
+    teacher = create_model(
+        "vit_base_patch16_224", num_classes=365, dtype=jnp.bfloat16
+    )
+
+    x = jnp.zeros((BATCH, 16, 224, 224, 3), jnp.float32)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)["params"]
+    tparams = jax.jit(teacher.init)({"params": jax.random.PRNGKey(1)}, x)["params"]
+
+    cfg = OptimConfig(lr=5e-4, total_steps=1000, warmup_steps=10)
+    tx, lr_fn = make_optimizer(params, cfg)
+    state = TrainState.create(params, tx)
+    loss_cfg = SlotLossConfig(num_action_classes=400, num_scene_classes=365)
+    step_cfg = TrainStepConfig(
+        use_fame=True, fame=FAMEConfig(beta=0.5, prob_aug=0.8)
+    )
+    step = jax.jit(
+        make_slot_train_step(model, teacher, tx, loss_cfg, step_cfg, lr_fn),
+        donate_argnums=(0,),
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "videos": jnp.asarray(
+            rng.normal(size=(BATCH, 16, 224, 224, 3)).astype(np.float32)
+        ),
+        "labels": jnp.asarray(rng.integers(0, 400, size=BATCH)),
+    }
+
+    # warmup (compile) + 2 steps. NOTE: on the axon TPU relay,
+    # block_until_ready does not reliably await remote completion —
+    # device_get (a real value fetch) is the only trustworthy sync.
+    for _ in range(3):
+        state, metrics = step(state, tparams, batch, jax.random.PRNGKey(0))
+    jax.device_get(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, tparams, batch, jax.random.PRNGKey(0))
+    jax.device_get(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = BATCH * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "devias_slot_train_throughput",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(clips_per_sec / A100_CLIPS_PER_SEC_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

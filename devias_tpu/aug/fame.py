@@ -1,0 +1,274 @@
+"""FAME foreground/background mix augmentation — pure JAX, jit-friendly.
+
+Capability parity with the reference FAME / FAME-HVU modules
+(ref: utils/transform/fame.py:13-153, fame_hvu.py:111-152), re-designed as
+batched on-device tensor math (the reference already runs on-GPU via
+kornia/torch; here every step is vectorized XLA):
+
+  1. denormalize the ImageNet-normalized batch
+  2. temporal-difference saliency -> Gaussian blur (reflect pad, the kornia
+     default) -> per-sample min-max normalization
+  3. HSV color-histogram foreground/background likelihood refinement
+     ("getSeg", ref fame.py:43-85): top-50% salient pixels vs bottom-10%
+     build 10x10x10 color histograms; per-pixel fg posterior; blur+norm;
+     binarize the top beta*H*W pixels
+  4. per-tubelet masks from frame pairs (i, i+1), stride 2 (ref fame.py:97-108)
+  5. mix shuffled batch backgrounds: videos[perm]*(1-mask) + videos*mask
+  6. per-sample keep-probability prob_aug — the reference *reorders* the
+     batch into [augmented; original] (ref fame.py:126-135); here it is a
+     shape-static per-sample `where` (same multiset of samples, order
+     preserved; downstream losses are order-invariant)
+  7. average-pool masks to the 14x14 patch grid -> (fg_mask [B,196],
+     fg_masks_per_frames [B, T/2*196])
+
+Reference quirks preserved:
+  * the Gaussian kernel is sized from the DEFAULT crop_size=112 (11x11,
+    sigma 11/3) even though inputs are 224x224, because the training
+    scripts construct FAME() without crop_size (ref run_slot_finetuning.py:422)
+  * FAME-HVU with prob_aug >= 1 does NOT swap scene labels (ref
+    fame_hvu.py:139-141)
+
+Layout: channels-last [B, T, H, W, C] (TPU-native), vs the reference NCTHW.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+_EPS = 1e-8
+_DIM = 10  # histogram bins per HSV-derived channel (ref fame.py:52)
+
+
+@dataclasses.dataclass(frozen=True)
+class FAMEConfig:
+    beta: float = 0.5  # foreground area fraction (ref fame.py:25)
+    prob_aug: float = 0.5  # per-sample probability of using the mixed clip
+    crop_size: int = 112  # sets the blur kernel; reference default preserved
+    patch_size: int = 16  # pooling for the patch-grid masks
+
+    @property
+    def gauss_size(self) -> int:
+        return int(0.1 * self.crop_size) // 2 * 2 + 1
+
+    @property
+    def gauss_sigma(self) -> float:
+        return self.gauss_size / 3.0
+
+
+def _gaussian_kernel1d(size: int, sigma: float) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _gaussian_blur(img: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur with reflect padding on [B, H, W]
+    (kornia GaussianBlur2d default border, ref fame.py:20-22)."""
+    k = _gaussian_kernel1d(size, sigma)
+    pad = size // 2
+    x = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    kh = k.reshape(1, 1, size, 1)
+    x = jax.lax.conv_general_dilated(
+        x[:, None], kh, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )[:, 0]
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
+    kw = k.reshape(1, 1, 1, size)
+    x = jax.lax.conv_general_dilated(
+        x[:, None], kw, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )[:, 0]
+    return x
+
+
+def _minmax_norm(m: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample min-max over flattened H*W (ref fame.py:29-35)."""
+    B = m.shape[0]
+    flat = m.reshape(B, -1)
+    flat = flat - flat.min(axis=-1, keepdims=True)
+    flat = flat / (flat.max(axis=-1, keepdims=True) + _EPS)
+    return flat.reshape(m.shape)
+
+
+def _rgb_to_hsv(rgb: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RGB [.., 3] in [0,1] -> (h in [0,1], s, v)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    rng = maxc - minc
+    s = jnp.where(maxc > 0, rng / (maxc + _EPS), 0.0)
+    safe_rng = jnp.where(rng > 0, rng, 1.0)
+    rc = (maxc - r) / safe_rng
+    gc = (maxc - g) / safe_rng
+    bc = (maxc - b) / safe_rng
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(rng > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _color_map(frame: jnp.ndarray) -> jnp.ndarray:
+    """Quantize each pixel into a 10x10x10 HSV-cylinder histogram bin
+    (ref fame.py:52-63). frame: [B, H, W, 3] in [0,1]; returns int32
+    [B, H*W] bin ids in [0, 1000]."""
+    h, s, v = _rgb_to_hsv(frame)
+    two_pi = 2.0 * jnp.pi
+    hx = (s * jnp.cos(h * two_pi) + 1.0) / 2.0
+    hy = (s * jnp.sin(h * two_pi) + 1.0) / 2.0
+    hq = jnp.round(hx * (_DIM - 1) + 1)
+    sq = jnp.round(hy * (_DIM - 1) + 1)
+    vq = jnp.round(v * (_DIM - 1) + 1)
+    cmap = hq + (sq - 1) * _DIM + (vq - 1) * _DIM * _DIM
+    B = frame.shape[0]
+    return cmap.reshape(B, -1).astype(jnp.int32)
+
+
+def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEConfig):
+    """Color-histogram refinement + top-beta binarization (ref fame.py:43-85).
+    mask: [B, H, W] saliency; mean_frame: [B, H, W, 3] (temporal mean)."""
+    B, H, W = mask.shape
+    n_fg = int(0.5 * H * W)
+    n_bg = int(0.1 * H * W)
+    flat = mask.reshape(B, -1)
+    _, fg_idx = jax.lax.top_k(flat, n_fg)
+    _, bg_idx = jax.lax.top_k(-flat, n_bg)
+
+    cmap = _color_map(mean_frame)  # [B, H*W], bins in [0, 1000]
+    n_bins = _DIM * _DIM * _DIM + 1  # bin ids can reach exactly 1000
+
+    col_fg = jnp.take_along_axis(cmap, fg_idx, axis=1)
+    col_bg = jnp.take_along_axis(cmap, bg_idx, axis=1)
+    hist = jax.vmap(lambda c: jnp.bincount(c, length=n_bins))
+    dict_fg = hist(col_fg).astype(jnp.float32)
+    dict_bg = hist(col_bg).astype(jnp.float32) + 1.0
+    dict_fg = dict_fg / (dict_fg.sum(axis=-1, keepdims=True) + _EPS)
+    dict_bg = dict_bg / (dict_bg.sum(axis=-1, keepdims=True) + _EPS)
+
+    pr_fg = jnp.take_along_axis(dict_fg, cmap, axis=1)
+    pr_bg = jnp.take_along_axis(dict_bg, cmap, axis=1)
+    refine = (pr_fg / (pr_bg + pr_fg)).reshape(B, H, W)
+
+    refine = _gaussian_blur(refine, cfg.gauss_size, cfg.gauss_sigma)
+    refine = _minmax_norm(refine)
+
+    # binarize exactly the top beta*H*W pixels (ref fame.py:80-85)
+    num_fg = int(beta * H * W)
+    _, top_idx = jax.lax.top_k(refine.reshape(B, -1), num_fg)
+    out = jnp.zeros((B, H * W), jnp.float32)
+    out = out.at[jnp.arange(B)[:, None], top_idx].set(1.0)
+    return out.reshape(B, H, W)
+
+
+def _clip_saliency(video: jnp.ndarray, cfg: FAMEConfig) -> jnp.ndarray:
+    """Whole-clip motion saliency (ref fame.py:87-95). video: [B,T,H,W,C]."""
+    diff = jnp.abs(video[:, :-1] - video[:, 1:]).sum(axis=-1).mean(axis=1)  # [B,H,W]
+    m = _gaussian_blur(diff, cfg.gauss_size, cfg.gauss_sigma)
+    return _minmax_norm(m)
+
+
+def compute_fame_masks(video: jnp.ndarray, cfg: FAMEConfig):
+    """Returns (mask [B,H,W], masks_per_tubelet [B,T/2,H,W]) on the
+    DENORMALIZED video [B,T,H,W,C]."""
+    B, T, H, W, C = video.shape
+    mean_frame = video.mean(axis=1)  # [B,H,W,C]
+
+    sal = _clip_saliency(video, cfg)
+    mask = _get_seg(sal, mean_frame, cfg.beta, cfg)
+
+    # per-tubelet: pairwise diff (i, i+1), stride 2 (ref fame.py:97-108)
+    pairs = video.reshape(B, T // 2, 2, H, W, C)
+    diffs = jnp.abs(pairs[:, :, 0] - pairs[:, :, 1]).sum(axis=-1)  # [B,T/2,H,W]
+    diffs = diffs.reshape(B * (T // 2), H, W)
+    d = _gaussian_blur(diffs, cfg.gauss_size, cfg.gauss_sigma)
+    d = _minmax_norm(d)
+    # each per-tubelet saliency refined against the same clip-mean frame
+    mean_rep = jnp.repeat(mean_frame, T // 2, axis=0)
+    per = _get_seg(d, mean_rep, cfg.beta, cfg).reshape(B, T // 2, H, W)
+    return mask, per
+
+
+def _pool_to_patches(m: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """Average-pool [..., H, W] by patch x patch (ref fame.py:142-148)."""
+    *lead, H, W = m.shape
+    x = m.reshape(*lead, H // patch, patch, W // patch, patch)
+    return x.mean(axis=(-3, -1))
+
+
+def fame_augment(
+    rng: jax.Array,
+    videos: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: FAMEConfig = FAMEConfig(),
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+):
+    """FAME on a normalized batch [B,T,H,W,C]. Returns
+    (videos, labels, (fg_mask [B,196], fg_masks_per_frames [B,T/2*196])).
+
+    Matches ref utils/transform/fame.py:110-153 with a shape-static
+    per-sample keep mask instead of batch reordering."""
+    out = _fame_core(rng, videos, cfg, mean, std)
+    return out["videos"], labels, (out["fg_mask"], out["fg_masks_per_frames"])
+
+
+def fame_augment_hvu(
+    rng: jax.Array,
+    videos: jnp.ndarray,
+    action_labels: jnp.ndarray,
+    scene_labels: jnp.ndarray,
+    cfg: FAMEConfig = FAMEConfig(),
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+):
+    """FAME-HVU: mixed samples inherit the background donor's scene label
+    (ref fame_hvu.py:126-141). Returns (videos, action_labels, scene_labels,
+    (fg_mask, fg_masks_per_frames))."""
+    out = _fame_core(rng, videos, cfg, mean, std)
+    if cfg.prob_aug < 1:
+        scene_out = jnp.where(
+            out["aug_keep"], scene_labels[out["perm"]], scene_labels
+        )
+    else:
+        # reference quirk: prob_aug >= 1 skips the label swap
+        scene_out = scene_labels
+    return out["videos"], action_labels, scene_out, (
+        out["fg_mask"],
+        out["fg_masks_per_frames"],
+    )
+
+
+def _fame_core(rng, videos, cfg: FAMEConfig, mean, std):
+    B, T, H, W, C = videos.shape
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    denorm = videos.astype(jnp.float32) * std + mean
+
+    mask, per_tubelet = compute_fame_masks(denorm, cfg)
+
+    perm_rng, keep_rng = jax.random.split(rng)
+    perm = jax.random.permutation(perm_rng, B)
+    m = mask[:, None, :, :, None]  # [B,1,H,W,1] broadcast over T and C
+    fused = videos[perm] * (1.0 - m) + videos * m
+
+    if cfg.prob_aug < 1:
+        keep = jax.random.uniform(keep_rng, (B,)) < cfg.prob_aug
+    else:
+        keep = jnp.ones((B,), bool)
+    videos_out = jnp.where(keep[:, None, None, None, None], fused, videos)
+
+    fg_mask = _pool_to_patches(mask, cfg.patch_size).reshape(B, -1)
+    fg_pf = _pool_to_patches(per_tubelet, cfg.patch_size).reshape(B, -1)
+    return {
+        "videos": videos_out.astype(videos.dtype),
+        "fg_mask": fg_mask,
+        "fg_masks_per_frames": fg_pf,
+        "perm": perm,
+        "aug_keep": keep,
+    }

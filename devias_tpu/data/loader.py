@@ -1,0 +1,145 @@
+"""Prefetching, host-sharded data loader.
+
+Replaces torch DataLoader + DistributedSampler (ref run_slot_finetuning.py:
+279-335): each host loads its shard of the global batch with a thread pool
+(cv2/PIL release the GIL during decode) and a bounded prefetch queue; the
+caller places the resulting numpy batch onto the device mesh.
+
+Sharding matches DistributedSampler semantics: pad to a multiple of
+world_size by wrapping (train) or shard unevenly for eval
+(ref run_slot_finetuning.py:283-291 warns about eval padding; like the
+reference we shard eval contiguously and dedupe at merge time).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def shard_indices(
+    n: int, shard: int, num_shards: int, shuffle: bool, seed: int, epoch: int,
+    pad: bool = True,
+) -> np.ndarray:
+    order = np.arange(n)
+    if shuffle:
+        order = np.random.default_rng(seed + epoch).permutation(n)
+    if pad:
+        total = -(-n // num_shards) * num_shards
+        if total > n:
+            order = np.concatenate([order, order[: total - n]])
+        return order[shard::num_shards]
+    return order[shard::num_shards]
+
+
+def _collate(samples):
+    """Stack dict records; flatten repeated-augmentation samples
+    (ref utils/utils.py:551-573 multiple_samples_collate)."""
+    out = {}
+    repeated = bool(samples[0].get("repeated", False))
+    for k in samples[0]:
+        if k == "repeated":
+            continue
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], str):
+            out[k] = vals
+        elif repeated and k in ("videos", "labels", "scene_labels"):
+            out[k] = np.concatenate([np.asarray(v) for v in vals], axis=0)
+        else:
+            out[k] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        seed: int = 0,
+        shard: int = 0,
+        num_shards: int = 1,
+        pad_shards: Optional[bool] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.shard = shard
+        self.num_shards = num_shards
+        self.pad_shards = shuffle if pad_shards is None else pad_shards
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(
+            shard_indices(
+                len(self.dataset), self.shard, self.num_shards,
+                False, 0, 0, self.pad_shards,
+            )
+        )
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = shard_indices(
+            len(self.dataset), self.shard, self.num_shards,
+            self.shuffle, self.seed, self.epoch, self.pad_shards,
+        )
+        nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+        batches = [
+            idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
+        ]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                # pipeline: submit per-sample fetches, collate in order
+                futures = [
+                    [pool.submit(self.dataset.__getitem__, int(i)) for i in b]
+                    for b in batches
+                ]
+                for fb in futures:
+                    if stop.is_set():
+                        for f in fb:
+                            f.cancel()
+                        continue
+                    try:
+                        q.put(_collate([f.result() for f in fb]))
+                    except Exception as exc:  # propagate to consumer
+                        q.put(exc)
+                        break
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while True:
+                try:
+                    if q.get_nowait() is None:
+                        break
+                except queue.Empty:
+                    break

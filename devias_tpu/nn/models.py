@@ -143,7 +143,13 @@ class SlotViT(nn.Module):
                 out_kernel_init=_scaled_trunc02(self.init_scale),
                 name="head",
             )(dropped)
-        mask_predictions = MaskPredictor(dtype=self.dtype, name="mask_predictor")(slots)
+        # mask decoder over the spatial patch grid: 196 (=14x14) at 224px,
+        # matching the reference's hardcoded width (ref modeling_slot.py:211);
+        # generalized to follow the input's actual grid.
+        n_spatial = (x.shape[2] // self.patch_size) * (x.shape[3] // self.patch_size)
+        mask_predictions = MaskPredictor(
+            out_dim=n_spatial, dtype=self.dtype, name="mask_predictor"
+        )(slots)
 
         out = {
             "slots": slots,

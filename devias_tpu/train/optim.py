@@ -1,0 +1,150 @@
+"""Optimizer factory: AdamW with per-leaf layer-decay LR scaling, the
+agg-block LR scale, no-decay groups, and per-step cosine LR/WD schedules.
+
+Reference semantics (ref: utils/optim_factory.py:24-93,
+run_slot_finetuning.py:532-539, engine/engine_for_slot.py:91-96):
+
+* layer id: pos_embed/cls_token/patch_embed -> 0; blocks.j -> j+1;
+  everything else -> num_layers+1. LR scale = layer_decay^(num_layers+1-id).
+* any param under agg_block gets lr_scale = agg_block_scale instead
+  (ref optim_factory.py:77-78; recipe value 0.1, docs/TRAIN.md:48).
+* no weight decay for 1-D params, biases, and the skip list
+  {pos_embed, cls_token, scene_token} (ref modeling_*.py no_weight_decay()).
+* torch AdamW coupling: p -= lr_group * (adam_update + wd * p), where
+  lr_group = lr_schedule(step) * lr_scale and wd = wd_schedule(step) for
+  decay groups (the reference writes schedule values into param groups
+  each micro-step; here schedules are evaluated inside the update).
+
+Implemented as an optax chain with per-leaf scale/mask pytrees — no param
+"groups", every leaf carries its own scale, which XLA fuses into one
+elementwise update kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from devias_tpu.core.schedules import cosine_schedule
+
+NO_DECAY_NAMES = ("pos_embed", "cls_token", "suffix_tokens")
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 5e-4  # already scaled by total_batch/256 by the caller
+    min_lr: float = 1e-6
+    warmup_lr: float = 1e-6
+    weight_decay: float = 0.05
+    weight_decay_end: Optional[float] = None
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    layer_decay: float = 1.0  # <1 enables layer-wise decay
+    agg_block_scale: float = 1.0  # recipe: 0.1 for slot training
+    num_layers: int = 12
+    total_steps: int = 1000
+    warmup_steps: int = 0
+    clip_grad: Optional[float] = None
+
+
+def _path_names(path) -> Tuple[str, ...]:
+    return tuple(getattr(p, "key", str(p)) for p in path)
+
+
+def _layer_id(names: Sequence[str], num_layers: int) -> int:
+    """ref optim_factory.py:24-35 adapted to the flax tree layout
+    (backbone/blocks_j/... instead of blocks.j...)."""
+    for n in names:
+        if n in ("cls_token", "pos_embed", "suffix_tokens") or n.startswith("patch_embed"):
+            return 0
+        if n.startswith("blocks_"):
+            return int(n.split("_")[1]) + 1
+    return num_layers + 1
+
+
+def build_lr_scale_tree(params, cfg: OptimConfig):
+    """Per-leaf LR multiplier implementing layer decay + agg_block scale."""
+    def scale(path, leaf):
+        names = _path_names(path)
+        if any("agg_block" in n for n in names):
+            return cfg.agg_block_scale
+        if cfg.layer_decay < 1.0:
+            lid = _layer_id(names, cfg.num_layers)
+            return cfg.layer_decay ** (cfg.num_layers + 1 - lid)
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def build_wd_mask_tree(params):
+    """True where decoupled weight decay applies (ref optim_factory.py:55-59)."""
+    def mask(path, leaf):
+        names = _path_names(path)
+        if leaf.ndim <= 1:
+            return False
+        if names and names[-1] == "bias":
+            return False
+        if any(n in NO_DECAY_NAMES for n in names):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def _add_scheduled_weight_decay(wd_fn: Callable, mask_tree) -> optax.GradientTransformation:
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("weight decay needs params")
+        wd = wd_fn(state.count)
+        updates = jax.tree.map(
+            lambda u, p, m: u + wd * p if m else u, updates, params, mask_tree
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _scale_by_scheduled_lr(lr_fn: Callable, lr_scale_tree) -> optax.GradientTransformation:
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        del params
+        lr = lr_fn(state.count)
+        updates = jax.tree.map(lambda u, s: u * (-lr * s), updates, lr_scale_tree)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(params, cfg: OptimConfig):
+    """Returns (optax.GradientTransformation, lr_fn) for the given param
+    pytree. The lr_fn is exposed for logging (ref TB 'opt/lr' scalars)."""
+    lr_fn = cosine_schedule(
+        cfg.lr, cfg.min_lr, cfg.total_steps, cfg.warmup_steps, cfg.warmup_lr
+    )
+    wd_end = cfg.weight_decay_end if cfg.weight_decay_end is not None else cfg.weight_decay
+    wd_fn = cosine_schedule(cfg.weight_decay, wd_end, cfg.total_steps, 0)
+
+    lr_scales = build_lr_scale_tree(params, cfg)
+    wd_mask = build_wd_mask_tree(params)
+
+    parts = []
+    if cfg.clip_grad is not None:
+        parts.append(optax.clip_by_global_norm(cfg.clip_grad))
+    parts += [
+        optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
+        _add_scheduled_weight_decay(wd_fn, wd_mask),
+        _scale_by_scheduled_lr(lr_fn, lr_scales),
+    ]
+    return optax.chain(*parts), lr_fn

@@ -1,0 +1,314 @@
+"""Jitted train/eval steps: grad accumulation via lax.scan, FAME inside the
+step, frozen-teacher forward, DP mesh sharding with XLA-inserted gradient
+reductions.
+
+Replaces the reference engines' per-iteration python loop bodies
+(ref: engine/engine_for_slot.py:64-214): LR/WD scheduling moved into the
+optimizer (devias_tpu.train.optim), DeepSpeed fp16 backward/step replaced
+by bf16 + optax, NCCL allreduce replaced by XLA collectives implied by
+shardings (params replicated, batch sharded over the 'data' mesh axis).
+
+The FAME donor permutation is *shard-local* (each data shard permutes its
+own samples), matching the reference's per-rank torch.randperm semantics
+(ref engine_for_slot.py:107 runs FAME on the rank-local batch) and keeping
+the gather off the ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from devias_tpu.aug.fame import FAMEConfig, fame_augment, fame_augment_hvu
+from devias_tpu.core.dist import DATA_AXIS
+from devias_tpu.losses import SlotLossConfig, devias_slot_loss, hvu_slot_loss, cross_entropy
+from devias_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    update_freq: int = 1  # gradient accumulation (ref --update_freq)
+    use_fame: bool = True
+    fame: FAMEConfig = FAMEConfig()
+    num_data_shards: int = 1  # shard-local FAME permutation blocks
+
+
+def _global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(tree))
+    )
+
+
+def _shard_local_fame(rng, videos, labels, fame_cfg: FAMEConfig, n_shards: int):
+    """Run FAME independently per data shard so the donor gather stays
+    device-local. videos: [B, ...] with B divisible by n_shards."""
+    B = videos.shape[0]
+    if n_shards <= 1 or B % n_shards != 0:
+        return fame_augment(rng, videos, labels, fame_cfg)
+    local = B // n_shards
+    v = videos.reshape(n_shards, local, *videos.shape[1:])
+    l = labels.reshape(n_shards, local, *labels.shape[1:])
+    keys = jax.random.split(rng, n_shards)
+    v2, l2, (fg, fgpf) = jax.vmap(
+        lambda k, vv, ll: fame_augment(k, vv, ll, fame_cfg)
+    )(keys, v, l)
+    return (
+        v2.reshape(videos.shape),
+        l2.reshape(labels.shape),
+        (fg.reshape(B, -1), fgpf.reshape(B, -1)),
+    )
+
+
+def make_slot_train_step(
+    model,
+    teacher_model,
+    tx: optax.GradientTransformation,
+    loss_cfg: SlotLossConfig,
+    step_cfg: TrainStepConfig = TrainStepConfig(),
+    lr_fn: Optional[Callable] = None,
+):
+    """DEVIAS slot training step (ref engine/engine_for_slot.py:50-169).
+
+    fn(state, teacher_params, batch, rng) -> (state, metrics)
+    batch: {'videos': [B,T,H,W,C] normalized, 'labels': [B]}
+    B = update_freq * microbatch; microbatches are scanned for grad accum.
+    """
+    U = step_cfg.update_freq
+
+    def micro_loss(params, teacher_params, videos, labels, rng):
+        fame_rng, drop_rng, dp_rng = jax.random.split(rng, 3)
+        if step_cfg.use_fame:
+            videos, labels, (fg_mask, fg_pf) = _shard_local_fame(
+                fame_rng, videos, labels, step_cfg.fame, step_cfg.num_data_shards
+            )
+        else:
+            B = videos.shape[0]
+            T = videos.shape[1]
+            n_sp = (videos.shape[2] // 16) * (videos.shape[3] // 16)
+            fg_mask = jnp.zeros((B, n_sp), jnp.float32)
+            fg_pf = jnp.zeros((B, (T // 2) * n_sp), jnp.float32)
+
+        # frozen scene teacher under stop_gradient
+        # (ref engine_for_slot.py:52-54 runs it in no_grad)
+        teacher_out = teacher_model.apply(
+            {"params": teacher_params}, videos, deterministic=True
+        )
+        teacher_logits = jax.lax.stop_gradient(teacher_out["logits"])
+
+        student = model.apply(
+            {"params": params},
+            videos,
+            deterministic=False,
+            rngs={"dropout": drop_rng, "drop_path": dp_rng},
+        )
+        total, action_logits, parts = devias_slot_loss(
+            student, teacher_logits, labels, fg_mask, fg_pf, loss_cfg
+        )
+        acc = (action_logits.argmax(-1) == labels).mean()
+        return total, {**parts, "loss": total, "class_acc": acc}
+
+    grad_fn = jax.grad(micro_loss, has_aux=True)
+
+    def step(state: TrainState, teacher_params, batch, rng):
+        videos, labels = batch["videos"], batch["labels"]
+        B = videos.shape[0]
+        mb = B // U
+        v = videos.reshape(U, mb, *videos.shape[1:])
+        l = labels.reshape(U, mb, *labels.shape[1:])
+        rngs = jax.random.split(jax.random.fold_in(rng, state.step), U)
+
+        def body(carry, xs):
+            g_acc, m_acc = carry
+            vv, ll, kk = xs
+            g, m = grad_fn(state.params, teacher_params, vv, ll, kk)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            m_acc = jax.tree.map(jnp.add, m_acc, m)
+            return (g_acc, m_acc), None
+
+        zero_g = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        zero_m = {
+            k: jnp.zeros([], jnp.float32)
+            for k in (
+                "loss", "action_loss", "scene_loss", "cosine_loss",
+                "mask_prediction_loss", "mask_distill_loss", "class_acc",
+            )
+        }
+        if U == 1:
+            grads, metrics = grad_fn(state.params, teacher_params, v[0], l[0], rngs[0])
+        else:
+            (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), (v, l, rngs))
+            grads = jax.tree.map(lambda g: g / U, grads)
+            metrics = jax.tree.map(lambda m: m / U, metrics)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(opt_state=new_opt).apply_updates(updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = _global_norm(grads)
+        if lr_fn is not None:
+            metrics["lr"] = lr_fn(state.step)
+        return new_state, metrics
+
+    return step
+
+
+def make_hvu_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_cfg: SlotLossConfig,
+    step_cfg: TrainStepConfig = TrainStepConfig(),
+    lr_fn: Optional[Callable] = None,
+):
+    """HVU slot training step: real scene labels, FAME-HVU label swap, no
+    teacher (ref engine/engine_for_slot_hvu.py:23-150)."""
+    U = step_cfg.update_freq
+
+    def micro_loss(params, videos, action_labels, scene_labels, rng):
+        fame_rng, drop_rng, dp_rng = jax.random.split(rng, 3)
+        if step_cfg.use_fame:
+            videos, action_labels, scene_labels, (fg_mask, fg_pf) = fame_augment_hvu(
+                fame_rng, videos, action_labels, scene_labels, step_cfg.fame
+            )
+        else:
+            B, T = videos.shape[0], videos.shape[1]
+            n_sp = (videos.shape[2] // 16) * (videos.shape[3] // 16)
+            fg_mask = jnp.zeros((B, n_sp), jnp.float32)
+            fg_pf = jnp.zeros((B, (T // 2) * n_sp), jnp.float32)
+
+        student = model.apply(
+            {"params": params}, videos, deterministic=False,
+            rngs={"dropout": drop_rng, "drop_path": dp_rng},
+        )
+        total, action_logits, parts = hvu_slot_loss(
+            student, action_labels, scene_labels, fg_mask, fg_pf, loss_cfg
+        )
+        acc = (action_logits.argmax(-1) == action_labels).mean()
+        return total, {**parts, "loss": total, "class_acc": acc}
+
+    grad_fn = jax.grad(micro_loss, has_aux=True)
+
+    def step(state: TrainState, batch, rng):
+        videos = batch["videos"]
+        al, sl = batch["action_labels"], batch["scene_labels"]
+        B = videos.shape[0]
+        mb = B // U
+        v = videos.reshape(U, mb, *videos.shape[1:])
+        a = al.reshape(U, mb)
+        s = sl.reshape(U, mb)
+        rngs = jax.random.split(jax.random.fold_in(rng, state.step), U)
+
+        def body(carry, xs):
+            g_acc, m_acc = carry
+            vv, aa, ss, kk = xs
+            g, m = grad_fn(state.params, vv, aa, ss, kk)
+            return (jax.tree.map(jnp.add, g_acc, g), jax.tree.map(jnp.add, m_acc, m)), None
+
+        if U == 1:
+            grads, metrics = grad_fn(state.params, v[0], a[0], s[0], rngs[0])
+        else:
+            zero_g = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            zero_m = {
+                k: jnp.zeros([], jnp.float32)
+                for k in (
+                    "loss", "action_loss", "scene_loss", "cosine_loss",
+                    "mask_prediction_loss", "mask_distill_loss", "class_acc",
+                )
+            }
+            (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), (v, a, s, rngs))
+            grads = jax.tree.map(lambda g: g / U, grads)
+            metrics = jax.tree.map(lambda m: m / U, metrics)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(opt_state=new_opt).apply_updates(updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = _global_norm(grads)
+        if lr_fn is not None:
+            metrics["lr"] = lr_fn(state.step)
+        return new_state, metrics
+
+    return step
+
+
+def make_classification_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    criterion: Callable = cross_entropy,
+    update_freq: int = 1,
+    lr_fn: Optional[Callable] = None,
+    logits_key: str = "logits",
+):
+    """Plain finetune step (ref engine/engine_for_finetuning.py:18-126):
+    model forward -> criterion(logits, labels) -> AdamW."""
+    U = update_freq
+
+    def micro_loss(params, videos, labels, rng):
+        drop_rng, dp_rng = jax.random.split(rng)
+        out = model.apply(
+            {"params": params}, videos, deterministic=False,
+            rngs={"dropout": drop_rng, "drop_path": dp_rng},
+        )
+        logits = out[logits_key]
+        loss = criterion(logits, labels).mean()
+        if labels.ndim == 1:
+            acc = (logits.argmax(-1) == labels).mean()
+        else:  # soft targets (mixup)
+            acc = (logits.argmax(-1) == labels.argmax(-1)).mean()
+        return loss, {"loss": loss, "class_acc": acc}
+
+    grad_fn = jax.grad(micro_loss, has_aux=True)
+
+    def step(state: TrainState, batch, rng):
+        videos, labels = batch["videos"], batch["labels"]
+        mb = videos.shape[0] // U
+        v = videos.reshape(U, mb, *videos.shape[1:])
+        l = labels.reshape(U, mb, *labels.shape[1:])
+        rngs = jax.random.split(jax.random.fold_in(rng, state.step), U)
+
+        def body(carry, xs):
+            g_acc, m_acc = carry
+            vv, ll, kk = xs
+            g, m = grad_fn(state.params, vv, ll, kk)
+            return (jax.tree.map(jnp.add, g_acc, g), jax.tree.map(jnp.add, m_acc, m)), None
+
+        if U == 1:
+            grads, metrics = grad_fn(state.params, v[0], l[0], rngs[0])
+        else:
+            zero_g = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            zero_m = {"loss": jnp.zeros([]), "class_acc": jnp.zeros([])}
+            (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), (v, l, rngs))
+            grads = jax.tree.map(lambda g: g / U, grads)
+            metrics = jax.tree.map(lambda m: m / U, metrics)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(opt_state=new_opt).apply_updates(updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = _global_norm(grads)
+        if lr_fn is not None:
+            metrics["lr"] = lr_fn(state.step)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model, output_key: Optional[str] = None):
+    """Deterministic forward returning the full output dict (or one key)."""
+    def step(params, videos):
+        out = model.apply({"params": params}, videos, deterministic=True)
+        return out[output_key] if output_key else out
+
+    return step
+
+
+def place_data_parallel(mesh, state, batch):
+    """Place state replicated and batch sharded over the data axis; a
+    subsequent jit'd step follows the data (computation-follows-sharding),
+    and XLA inserts the gradient psum over ICI."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    batch = jax.tree.map(lambda x: jax.device_put(x, data), batch)
+    return state, batch

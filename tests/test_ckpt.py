@@ -1,0 +1,165 @@
+"""Checkpoint layer tests: torch state-dict import mapping, merge
+semantics, pos-embed interpolation, orbax save/auto-resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from devias_tpu.ckpt import (
+    import_torch_state_dict,
+    interpolate_pos_embed,
+    save_checkpoint,
+    load_checkpoint,
+    auto_resume,
+)
+from devias_tpu.ckpt.torch_import import merge_params, strip_prefixes
+from devias_tpu.nn import create_model
+
+TINY = dict(depth=2, embed_dim=64, num_heads=4)
+
+
+def _flax_to_torch_sd(params, agg_depth_stored=2):
+    """Inverse of the importer mapping: build a torch-layout state dict
+    from a flax slot-model tree (same key names the reference emits)."""
+    sd = {}
+    bb = params["backbone"]
+    k = np.asarray(bb["patch_embed"]["kernel"])  # [t*p*p*C, D]
+    D = k.shape[1]
+    t, p, C = 2, 16, 3
+    sd["patch_embed.proj.weight"] = k.reshape(t, p, p, C, D).transpose(4, 3, 0, 1, 2)
+    sd["patch_embed.proj.bias"] = np.asarray(bb["patch_embed"]["bias"])
+    for i, name in enumerate(n for n in bb if n.startswith("blocks_")):
+        blk = bb[f"blocks_{i}"]
+        b = f"blocks.{i}"
+        sd[f"{b}.norm1.weight"] = np.asarray(blk["norm1"]["scale"])
+        sd[f"{b}.norm1.bias"] = np.asarray(blk["norm1"]["bias"])
+        sd[f"{b}.norm2.weight"] = np.asarray(blk["norm2"]["scale"])
+        sd[f"{b}.norm2.bias"] = np.asarray(blk["norm2"]["bias"])
+        sd[f"{b}.attn.qkv.weight"] = np.asarray(blk["attn"]["qkv_kernel"]).T
+        sd[f"{b}.attn.q_bias"] = np.asarray(blk["attn"]["q_bias"])
+        sd[f"{b}.attn.v_bias"] = np.asarray(blk["attn"]["v_bias"])
+        sd[f"{b}.attn.proj.weight"] = np.asarray(blk["attn"]["proj"]["kernel"]).T
+        sd[f"{b}.attn.proj.bias"] = np.asarray(blk["attn"]["proj"]["bias"])
+        sd[f"{b}.mlp.fc1.weight"] = np.asarray(blk["mlp"]["fc1"]["kernel"]).T
+        sd[f"{b}.mlp.fc1.bias"] = np.asarray(blk["mlp"]["fc1"]["bias"])
+        sd[f"{b}.mlp.fc2.weight"] = np.asarray(blk["mlp"]["fc2"]["kernel"]).T
+        sd[f"{b}.mlp.fc2.bias"] = np.asarray(blk["mlp"]["fc2"]["bias"])
+    sd["norm.weight"] = np.asarray(bb["norm"]["scale"])
+    sd["norm.bias"] = np.asarray(bb["norm"]["bias"])
+
+    agg = params["agg_block"]
+    sd["agg_block.latents"] = np.asarray(agg["latents"])
+    for i in range(agg_depth_stored):
+        j = min(i, len([n for n in agg if n.startswith("layers_")]) - 1)
+        lay = agg[f"layers_{j}"]
+        b = f"agg_block.layers.{i}"
+        sd[f"{b}.0.norm.weight"] = np.asarray(lay["norm_q"]["scale"])
+        sd[f"{b}.0.norm.bias"] = np.asarray(lay["norm_q"]["bias"])
+        sd[f"{b}.0.norm_context.weight"] = np.asarray(lay["norm_context"]["scale"])
+        sd[f"{b}.0.norm_context.bias"] = np.asarray(lay["norm_context"]["bias"])
+        for t_name, f_name in (("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v")):
+            sd[f"{b}.0.fn.{t_name}.weight"] = np.asarray(
+                lay["cross_attn"][f_name]["kernel"]
+            ).T
+        sd[f"{b}.0.fn.to_out.0.weight"] = np.asarray(lay["cross_attn"]["to_out"]["kernel"]).T
+        sd[f"{b}.0.fn.to_out.0.bias"] = np.asarray(lay["cross_attn"]["to_out"]["bias"])
+        sd[f"{b}.2.norm.weight"] = np.asarray(lay["norm_ff"]["scale"])
+        sd[f"{b}.2.norm.bias"] = np.asarray(lay["norm_ff"]["bias"])
+        sd[f"{b}.2.fn.net.0.weight"] = np.asarray(lay["ff_fc1"]["kernel"]).T
+        sd[f"{b}.2.fn.net.0.bias"] = np.asarray(lay["ff_fc1"]["bias"])
+        sd[f"{b}.2.fn.net.3.weight"] = np.asarray(lay["ff_fc2"]["kernel"]).T
+        sd[f"{b}.2.fn.net.3.bias"] = np.asarray(lay["ff_fc2"]["bias"])
+    sd["agg_block.last_layer.0.weight"] = np.asarray(agg["last_norm"]["scale"])
+    sd["agg_block.last_layer.0.bias"] = np.asarray(agg["last_norm"]["bias"])
+
+    for f_name, idx in (("fc1", 0), ("fc2", 2), ("fc3", 4)):
+        sd[f"mask_predictor.decoder.{idx}.weight"] = np.asarray(
+            params["mask_predictor"][f_name]["kernel"]
+        ).T
+        sd[f"mask_predictor.decoder.{idx}.bias"] = np.asarray(
+            params["mask_predictor"][f_name]["bias"]
+        )
+    sd["head.weight"] = np.asarray(params["head"]["kernel"]).T
+    sd["head.bias"] = np.asarray(params["head"]["bias"])
+    return sd
+
+
+def test_slot_import_roundtrip():
+    """torch-layout export -> import must reproduce the exact tree."""
+    model = create_model(
+        "slot_vit_base_patch16_224",
+        num_classes=5, num_scene_classes=4, num_latents=2, agg_depth=2,
+        agg_weights_tie=True, **TINY,
+    )
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    sd = _flax_to_torch_sd(params, agg_depth_stored=2)
+    imported = import_torch_state_dict(sd, "slot", depth=2, agg_unique_layers=1)
+    merged, report = merge_params(params, imported)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    assert len(report["loaded"]) > 20
+    # forward works with merged params
+    out = model.apply({"params": merged}, x)
+    assert np.isfinite(np.asarray(out["slots_head"])).all()
+
+
+def test_import_drops_mismatched_head():
+    model = create_model(
+        "slot_vit_base_patch16_224",
+        num_classes=5, num_scene_classes=4, num_latents=2, agg_depth=2, **TINY,
+    )
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    sd = _flax_to_torch_sd(params)
+    # pretend the ckpt head had a different class count
+    sd["head.weight"] = np.zeros((7, 64), np.float32)
+    sd["head.bias"] = np.zeros((7,), np.float32)
+    imported = import_torch_state_dict(
+        sd, "slot", depth=2, agg_unique_layers=1, expected_head_out=9
+    )
+    assert "head" not in imported  # dropped (ref run_slot_finetuning.py:455-458)
+    merged, _ = merge_params(params, imported)
+    np.testing.assert_allclose(
+        np.asarray(merged["head"]["kernel"]), np.asarray(params["head"]["kernel"])
+    )
+
+
+def test_strip_prefixes():
+    sd = {"backbone.blocks.0.norm1.weight": np.zeros(2), "encoder.x": np.ones(1), "y": np.ones(1)}
+    out = strip_prefixes(sd)
+    assert set(out) == {"blocks.0.norm1.weight", "x", "y"}
+
+
+def test_pos_embed_interpolation():
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(8 * 4 * 4, 16)).astype(np.float32)
+    same = interpolate_pos_embed(pos, 4, 4, 8)
+    np.testing.assert_allclose(same, pos, atol=1e-5)
+    up = interpolate_pos_embed(pos, 4, 8, 8)
+    assert up.shape == (8 * 8 * 8, 16)
+
+
+def test_orbax_save_and_auto_resume(tmp_path):
+    import optax
+    from devias_tpu.train import OptimConfig, TrainState, make_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx, _ = make_optimizer(params, OptimConfig(total_steps=10))
+    state = TrainState.create(params, tx)
+    state = state.apply_updates(jax.tree.map(lambda p: p * 0 + 0.5, params))
+
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 3, state, metadata={"epoch": 3})
+    template = TrainState.create(params, tx)
+    restored, step = auto_resume(d, template)
+    assert step == 3
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), np.asarray(state.params["w"]))
+    assert int(restored.step) == 1
+
+    # newer checkpoint wins
+    state2 = state.apply_updates(jax.tree.map(lambda p: p * 0 + 0.25, params))
+    save_checkpoint(d, 5, state2)
+    _, step2 = auto_resume(d, template)
+    assert step2 == 5

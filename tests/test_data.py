@@ -1,0 +1,195 @@
+"""Data pipeline tests: filelists, samplers, transforms, datasets, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from devias_tpu.data import DataConfig, DataLoader, build_dataset, read_filelist
+from devias_tpu.data import train_window_indices, tsn_test_indices, tsn_train_indices
+from devias_tpu.data import test_stride_indices as stride_indices
+from devias_tpu.data import test_view_offsets as view_offsets
+from devias_tpu.data.transforms import (
+    normalize_clip,
+    rand_augment_clip,
+    random_resized_crop_clip,
+    resize_clip_short_side,
+    train_augment,
+    val_transform,
+)
+from devias_tpu.data.loader import shard_indices
+
+
+def test_filelist_formats(tmp_path):
+    p = tmp_path / "train.csv"
+    p.write_text("a/b.mp4 3\nc d.mp4 7\n")
+    es = read_filelist(str(p), "/root/videos")
+    assert es[0].path == "/root/videos/a/b.mp4" and es[0].label == 3
+    assert es[1].path == "/root/videos/c d.mp4" and es[1].label == 7
+
+    p2 = tmp_path / "hvu.csv"
+    p2.write_text("vid1 5 9\n")
+    es2 = read_filelist(str(p2), "", fmt="hvu")
+    assert es2[0].path == "vid1.mp4" and es2[0].label == 5 and es2[0].scene_label == 9
+
+    p3 = tmp_path / "anet.csv"
+    p3.write_text("v1.mp4 1.5 9.0 20.0 42\n")
+    es3 = read_filelist(str(p3), "", fmt="activitynet")
+    assert es3[0].start == 1.5 and es3[0].end == 9.0 and es3[0].label == 42
+
+    p4 = tmp_path / "scuba.csv"
+    p4.write_text("dir1 120 11\n")
+    es4 = read_filelist(str(p4), "", fmt="with_length")
+    assert es4[0].video_len == 120 and es4[0].label == 11
+
+
+def test_train_window_indices_semantics():
+    rng = np.random.default_rng(0)
+    # long video: window of clip_len*rate, linspace
+    idx = train_window_indices(300, 16, 4, rng=rng)
+    assert idx.shape == (16,)
+    assert (np.diff(idx) >= 0).all()
+    assert idx.max() - idx.min() <= 16 * 4
+    # short video: padded with clamped end
+    idx2 = train_window_indices(20, 16, 4, rng=rng)
+    assert idx2.shape == (16,)
+    assert idx2.max() <= 19
+
+
+def test_test_stride_indices_pads():
+    idx = stride_indices(10, 16, 4)
+    assert len(idx) == 16
+    assert idx[-1] == idx[3]  # last real strided index repeated
+
+
+def test_test_view_offsets_cover_range():
+    # 2 temporal x 3 spatial on a 64-frame, 224x400 buffer
+    starts = set()
+    for ck in range(2):
+        for cp in range(3):
+            t0, s0, on_h = view_offsets(64, (224, 400), 16, 224, ck, cp, 2, 3)
+            starts.add((t0, s0))
+            assert not on_h  # W > H -> crop along width
+    assert len(starts) == 6
+    t0, s0, _ = view_offsets(64, (224, 400), 16, 224, 1, 2, 2, 3)
+    assert t0 == 48 and s0 == 176  # ends flush
+
+
+def test_tsn_indices():
+    rng = np.random.default_rng(0)
+    tr = tsn_train_indices(100, 16, rng)
+    assert tr.shape == (16,) and (np.diff(tr) > 0).all()
+    te = tsn_test_indices(100, 16, 2)
+    assert te.shape == (32,)
+    assert (np.diff(te) >= 0).all()
+
+
+def test_transforms_shapes_and_ranges():
+    rng = np.random.default_rng(0)
+    clip = rng.integers(0, 256, size=(4, 120, 160, 3), dtype=np.uint8)
+    r = resize_clip_short_side(clip, 64)
+    assert r.shape == (4, 64, 85, 3)
+    v = val_transform(clip, 64, 64)
+    assert v.shape == (4, 64, 64, 3) and v.dtype == np.float32
+    assert abs(float(v.mean())) < 1.0  # roughly normalized
+
+    aug = rand_augment_clip(clip)
+    assert aug.shape == clip.shape and aug.dtype == np.uint8
+
+    t = train_augment(clip, crop_size=64)
+    assert t.shape == (4, 64, 64, 3) and t.dtype == np.float32
+
+
+def test_rand_augment_clip_consistent():
+    """The same op draw must apply to every frame: a static clip stays
+    static after augmentation (ref video_transforms.py:620-653)."""
+    import random
+
+    frame = np.random.default_rng(1).integers(0, 256, (60, 60, 3), dtype=np.uint8)
+    clip = np.repeat(frame[None], 4, axis=0)
+    out = rand_augment_clip(clip, rng=random.Random(3))
+    for t in range(1, 4):
+        np.testing.assert_array_equal(out[0], out[t])
+
+
+def test_random_resized_crop_same_box_all_frames():
+    import random
+
+    rng = np.random.default_rng(2)
+    clip = rng.normal(size=(4, 80, 80, 3)).astype(np.float32)
+    out = random_resized_crop_clip(clip, 32, rng=random.Random(0))
+    assert out.shape == (4, 32, 32, 3)
+
+
+def test_synthetic_dataset_and_loader():
+    cfg = DataConfig(
+        data_set="UCF101", synthetic=True, num_frames=8, sampling_rate=2,
+        input_size=64, short_side_size=64, test_num_segment=2, test_num_crop=3,
+    )
+    entries = [f"v{i}.mp4 {i % 5}" for i in range(10)]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        anno = os.path.join(d, "train.csv")
+        with open(anno, "w") as f:
+            f.write("\n".join(entries))
+        cfg2 = DataConfig(**{**cfg.__dict__, "anno_path": anno})
+        ds, nb = build_dataset(True, False, cfg2)
+        assert nb == 101 and len(ds) == 10
+        sample = ds[0]
+        assert sample["videos"].shape == (8, 64, 64, 3)
+
+        loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["videos"].shape == (4, 8, 64, 64, 3)
+        assert batches[0]["labels"].shape == (4,)
+
+        # test mode: 2x3 view grid
+        ds_t, _ = build_dataset(False, True, cfg2)
+        assert len(ds_t) == 10 * 6
+        s = ds_t[0]
+        assert s["videos"].shape == (8, 64, 64, 3)
+        assert "chunk" in s and "split" in s and isinstance(s["video_id"], str)
+
+
+def test_loader_sharding():
+    idx0 = shard_indices(10, 0, 4, False, 0, 0, pad=True)
+    idx1 = shard_indices(10, 1, 4, False, 0, 0, pad=True)
+    all_idx = np.concatenate(
+        [shard_indices(10, s, 4, False, 0, 0, pad=True) for s in range(4)]
+    )
+    assert len(idx0) == 3 and len(idx1) == 3  # padded to 12
+    assert set(all_idx.tolist()) == set(range(10))
+    # shuffling differs by epoch
+    a = shard_indices(100, 0, 1, True, 0, 0)
+    b = shard_indices(100, 0, 1, True, 0, 1)
+    assert not np.array_equal(a, b)
+
+
+def test_hvu_dataset_returns_both_labels(tmp_path):
+    anno = tmp_path / "train.csv"
+    anno.write_text("\n".join(f"v{i} {i % 7} {i % 3}" for i in range(6)))
+    cfg = DataConfig(
+        data_set="HVU", synthetic=True, anno_path=str(anno),
+        num_frames=8, sampling_rate=2, input_size=64, short_side_size=64,
+    )
+    ds, (na, ns) = build_dataset(True, False, cfg)
+    assert (na, ns) == (739, 248)
+    s = ds[1]
+    assert int(s["labels"]) == 1 and int(s["scene_labels"]) == 1
+
+
+def test_repeated_augmentation_collate(tmp_path):
+    anno = tmp_path / "train.csv"
+    anno.write_text("v0.mp4 1\nv1.mp4 2\n")
+    cfg = DataConfig(
+        data_set="UCF101", synthetic=True, anno_path=str(anno), num_sample=2,
+        num_frames=8, sampling_rate=2, input_size=64, short_side_size=64,
+    )
+    ds, _ = build_dataset(True, False, cfg)
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    batch = next(iter(loader))
+    # 2 samples x 2 repeats flattened (ref utils/utils.py:551-573)
+    assert batch["videos"].shape == (4, 8, 64, 64, 3)
+    assert batch["labels"].tolist() == [1, 1, 2, 2]

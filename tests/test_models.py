@@ -25,7 +25,7 @@ def test_slot_vit_shapes():
     n_tokens = (4 // 2) * (32 // 16) ** 2
     assert out["slots"].shape == (2, 2, 64)
     assert out["slots_head"].shape == (2, 2, 15)
-    assert out["mask_predictions"].shape == (2, 2, 196)
+    assert out["mask_predictions"].shape == (2, 2, (32 // 16) ** 2)
     assert out["attn"].shape == (2, 4, 2, n_tokens)
     assert out["action_feat"].shape == (2, 64)
     assert out["action_logit"].shape == (2, 15)
