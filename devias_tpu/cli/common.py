@@ -1,0 +1,300 @@
+"""Shared CLI plumbing: the reference's flag surface (names preserved so
+published commands run unchanged — ref run_slot_finetuning.py:37-247), and
+the builders the six entry points share (the reference duplicates ~300
+lines of this per script; factored once here, SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devias_tpu.data import DataConfig, DataLoader, build_dataset
+from devias_tpu.train import OptimConfig, make_optimizer
+
+
+def build_shared_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description, add_help=False)
+    # schedule / batch (ref :39-42)
+    p.add_argument("--batch_size", default=64, type=int)
+    p.add_argument("--epochs", default=30, type=int)
+    p.add_argument("--update_freq", default=1, type=int)
+    p.add_argument("--save_ckpt_freq", default=100, type=int)
+    # model (ref :68-83)
+    p.add_argument("--model", default="vit_base_patch16_224", type=str)
+    p.add_argument("--tubelet_size", type=int, default=2)
+    p.add_argument("--input_size", default=224, type=int)
+    p.add_argument("--fc_drop_rate", type=float, default=0.0)
+    p.add_argument("--drop", type=float, default=0.0)
+    p.add_argument("--attn_drop_rate", type=float, default=0.0)
+    p.add_argument("--drop_path", type=float, default=0.1)
+    p.add_argument("--disable_eval_during_finetuning", action="store_true", default=False)
+    p.add_argument("--model_ema", action="store_true", default=False)
+    p.add_argument("--model_ema_decay", type=float, default=0.9999)
+    # optimizer (ref :91-119)
+    p.add_argument("--opt", default="adamw", type=str)
+    p.add_argument("--opt_eps", default=1e-8, type=float)
+    p.add_argument("--opt_betas", default=None, type=float, nargs="+")
+    p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--weight_decay_end", type=float, default=None)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--layer_decay", type=float, default=0.75)
+    p.add_argument("--warmup_lr", type=float, default=1e-6)
+    p.add_argument("--min_lr", type=float, default=1e-6)
+    p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--warmup_steps", type=int, default=-1)
+    # augmentation (ref :122-161)
+    p.add_argument("--color_jitter", type=float, default=0.4)
+    p.add_argument("--num_sample", type=int, default=2)
+    p.add_argument("--aa", type=str, default="rand-m7-n4-mstd0.5-inc1")
+    p.add_argument("--smoothing", type=float, default=0.1)
+    p.add_argument("--train_interpolation", type=str, default="bicubic")
+    p.add_argument("--crop_pct", type=float, default=None)
+    p.add_argument("--short_side_size", type=int, default=224)
+    p.add_argument("--test_num_segment", type=int, default=5)
+    p.add_argument("--test_num_crop", type=int, default=3)
+    p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--remode", type=str, default="pixel")
+    p.add_argument("--recount", type=int, default=1)
+    p.add_argument("--resplit", action="store_true", default=False)
+    p.add_argument("--mixup", type=float, default=0.8)
+    p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--cutmix_minmax", type=float, nargs="+", default=None)
+    p.add_argument("--mixup_prob", type=float, default=1.0)
+    p.add_argument("--mixup_switch_prob", type=float, default=0.5)
+    p.add_argument("--mixup_mode", type=str, default="batch")
+    # finetune / init (ref :164-168)
+    p.add_argument("--finetune", default="")
+    p.add_argument("--model_key", default="model|module", type=str)
+    p.add_argument("--model_prefix", default="", type=str)
+    p.add_argument("--init_scale", default=0.001, type=float)
+    p.add_argument("--use_checkpoint", action="store_true")
+    # data (ref :172-189)
+    p.add_argument("--data_path", default="./filelist/k400", type=str)
+    p.add_argument("--data_prefix", default="", type=str)
+    p.add_argument("--anno_path", default="", type=str)
+    p.add_argument("--nb_classes", default=400, type=int)
+    p.add_argument("--imagenet_default_mean_and_std", default=True, action="store_true")
+    p.add_argument("--num_segments", type=int, default=1)
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--sampling_rate", type=int, default=4)
+    p.add_argument("--data_set", default="Kinetics-400", type=str)
+    p.add_argument("--synthetic_data", action="store_true", default=False,
+                   help="devias_tpu extension: random frames, no video files needed")
+    # run control (ref :191-228)
+    p.add_argument("--output_dir", default="")
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--device", default="tpu")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--resume", default="")
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--no_auto_resume", action="store_false", dest="auto_resume")
+    p.add_argument("--save_ckpt", action="store_true", default=True)
+    p.add_argument("--no_save_ckpt", action="store_false", dest="save_ckpt")
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--dist_eval", action="store_true", default=False)
+    p.add_argument("--num_workers", default=10, type=int)
+    p.add_argument("--pin_mem", action="store_true", default=True)
+    p.add_argument("--no_pin_mem", action="store_false", dest="pin_mem")
+    p.add_argument("--world_size", default=1, type=int)
+    p.add_argument("--enable_deepspeed", action="store_true", default=False,
+                   help="accepted for command compatibility; bf16 needs no engine")
+    # devias_tpu extensions
+    p.add_argument("--max_steps_per_epoch", default=0, type=int,
+                   help="devias_tpu extension: cap steps/epoch (smoke runs)")
+    p.add_argument("--smoke_tiny", action="store_true", default=False,
+                   help="devias_tpu extension: 2-layer 64-dim model for smoke tests")
+    return p
+
+
+def tiny_overrides(args) -> dict:
+    """Model kwargs for --smoke_tiny (CI / CPU smoke runs)."""
+    if not getattr(args, "smoke_tiny", False):
+        return {}
+    return {"depth": 2, "embed_dim": 64, "num_heads": 4}
+
+
+def run_train_loop(
+    args,
+    mesh,
+    state,
+    train_step,
+    loader_train,
+    steps_per_epoch: int,
+    *,
+    extra_step_args=(),
+    batch_keys=("videos", "labels"),
+    validate=None,
+    logger: Optional["JsonlLogger"] = None,
+    start_epoch: int = 0,
+):
+    """The shared epoch loop (ref engine train_one_epoch + the per-script
+    loop at run_slot_finetuning.py:648-713): step, log, validate, track the
+    best metric, checkpoint. Returns (state, best_acc)."""
+    from devias_tpu.ckpt import save_checkpoint
+    from devias_tpu.train import place_data_parallel
+
+    logger = logger or JsonlLogger(args.output_dir)
+    rank = jax.process_index()
+    best_acc = -1.0
+    rng = jax.random.PRNGKey(args.seed)
+    metrics = {}
+    for epoch in range(start_epoch, args.epochs):
+        loader_train.set_epoch(epoch)
+        t0 = time.time()
+        for it, batch in enumerate(loader_train):
+            if it >= steps_per_epoch:
+                break
+            dev_batch = {k: jnp.asarray(batch[k]) for k in batch_keys}
+            state, dev_batch = place_data_parallel(mesh, state, dev_batch)
+            state, metrics = train_step(state, *extra_step_args, dev_batch, rng)
+            if it % 50 == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                print(f"epoch {epoch} it {it}/{steps_per_epoch} " +
+                      " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())))
+                if not np.isfinite(m["loss"]):
+                    raise RuntimeError(f"Loss is {m['loss']}, stopping training")
+        record = {"epoch": epoch, "train_time_s": round(time.time() - t0, 1)}
+        if metrics:
+            record.update(
+                {f"train_{k}": float(v) for k, v in jax.device_get(metrics).items()}
+            )
+        if validate is not None and not args.disable_eval_during_finetuning:
+            val = validate(state)
+            record.update({f"val_{k}": round(float(v), 3) for k, v in val.items()})
+            if val.get("acc1", -1) > best_acc:
+                best_acc = val["acc1"]
+                if args.output_dir and args.save_ckpt and rank == 0:
+                    save_checkpoint(os.path.join(args.output_dir, "ckpt_best"), epoch, state)
+        if args.output_dir and args.save_ckpt and rank == 0 and (
+            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+        ):
+            save_checkpoint(os.path.join(args.output_dir, "ckpt"), epoch, state)
+        logger.write(record)
+        print(record)
+    return state, best_acc
+
+
+def scaled_lr(args) -> float:
+    """LR linearly scaled by total batch / 256 (ref run_slot_finetuning.py:521-525)."""
+    total = args.batch_size * args.update_freq * jax.process_count()
+    return args.lr * total / 256.0
+
+
+def make_data_config(args, **overrides) -> DataConfig:
+    kw = dict(
+        data_set=args.data_set,
+        data_path=args.data_path,
+        data_prefix=args.data_prefix,
+        anno_path=getattr(args, "anno_path", ""),
+        num_frames=args.num_frames,
+        sampling_rate=args.sampling_rate,
+        input_size=args.input_size,
+        short_side_size=args.short_side_size,
+        test_num_segment=args.test_num_segment,
+        test_num_crop=args.test_num_crop,
+        aa=args.aa,
+        reprob=args.reprob,
+        num_sample=args.num_sample,
+        nb_classes=args.nb_classes,
+        synthetic=getattr(args, "synthetic_data", False),
+    )
+    kw.update(overrides)
+    return DataConfig(**kw)
+
+
+def make_optim_config(args, total_steps: int, steps_per_epoch: int,
+                      agg_block_scale: float = 1.0, num_layers: int = 12) -> OptimConfig:
+    warmup = (
+        args.warmup_steps
+        if args.warmup_steps > 0
+        else args.warmup_epochs * steps_per_epoch
+    )
+    return OptimConfig(
+        lr=scaled_lr(args),
+        min_lr=args.min_lr,
+        warmup_lr=args.warmup_lr,
+        weight_decay=args.weight_decay,
+        weight_decay_end=args.weight_decay_end,
+        beta1=args.opt_betas[0] if args.opt_betas else 0.9,
+        beta2=args.opt_betas[1] if args.opt_betas else 0.999,
+        eps=args.opt_eps,
+        layer_decay=args.layer_decay,
+        agg_block_scale=agg_block_scale,
+        num_layers=num_layers,
+        total_steps=total_steps,
+        warmup_steps=warmup,
+        clip_grad=args.clip_grad,
+    )
+
+
+def make_train_loader(dataset, args) -> DataLoader:
+    return DataLoader(
+        dataset,
+        batch_size=args.batch_size * args.update_freq,
+        shuffle=True,
+        drop_last=True,
+        num_workers=args.num_workers,
+        seed=args.seed,
+        shard=jax.process_index(),
+        num_shards=jax.process_count(),
+    )
+
+
+def make_eval_loader(dataset, args, batch_size: Optional[int] = None) -> DataLoader:
+    return DataLoader(
+        dataset,
+        batch_size=batch_size or args.batch_size,
+        shuffle=False,
+        drop_last=False,
+        num_workers=args.num_workers,
+        shard=jax.process_index() if args.dist_eval else 0,
+        num_shards=jax.process_count() if args.dist_eval else 1,
+        pad_shards=False,
+    )
+
+
+class JsonlLogger:
+    """Epoch log.txt writer (ref run_slot_finetuning.py:709-713)."""
+
+    def __init__(self, output_dir: str, enabled: bool = True):
+        self.path = os.path.join(output_dir, "log.txt") if output_dir else None
+        self.enabled = enabled and bool(output_dir) and jax.process_index() == 0
+        if self.enabled:
+            os.makedirs(output_dir, exist_ok=True)
+
+    def write(self, record: dict):
+        if self.enabled:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+
+def finetune_surgery(args, model_kind: str, params, num_classes_total: int,
+                     agg_unique_layers: int = 1, depth: int = 12):
+    """--finetune checkpoint load with the reference's surgery
+    (ref run_slot_finetuning.py:438-499)."""
+    from devias_tpu.ckpt import import_torch_state_dict, load_torch_checkpoint_file
+    from devias_tpu.ckpt.torch_import import merge_params
+
+    if not args.finetune:
+        return params, None
+    sd = load_torch_checkpoint_file(args.finetune)
+    imported = import_torch_state_dict(
+        sd, model_kind, depth=depth, agg_unique_layers=agg_unique_layers,
+        expected_head_out=num_classes_total,
+    )
+    merged, report = merge_params(params, imported)
+    print(f"finetune load: {len(report['loaded'])} tensors; "
+          f"{len(report['unused_in_ckpt'])} ckpt keys unused")
+    return merged, report

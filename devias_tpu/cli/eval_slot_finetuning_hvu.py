@@ -1,0 +1,91 @@
+"""HVU seen/unseen evaluation: 4 metric blocks (action/scene x seen/unseen).
+
+ref: eval_slot_finetuning_hvu.py (347 LoC) — builds two datasets from the
+'SEEN UNSEEN' anno pair and runs validation_action / validation_scene on
+each (ref :258-273, :337-340; engine_for_slot_hvu.py:203-280).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devias_tpu.cli.common import build_shared_parser, finetune_surgery, make_data_config, make_eval_loader
+from devias_tpu.data import build_dataset
+from devias_tpu.data.datasets import HVU_NUM_ACTION_CLASSES, HVU_NUM_SCENE_CLASSES
+from devias_tpu.cli.run_slot_finetuning_hvu import build_hvu_model
+from devias_tpu.eval.merge import accuracy_topk
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        "HVU seen/unseen evaluation (TPU)", parents=[build_shared_parser("hvu-eval")]
+    )
+    parser.add_argument("--agg_weights_tie", default=False, action="store_true")
+    parser.add_argument("--agg_depth", default=8, type=int)
+    parser.add_argument("--num_latents", type=int, default=2)
+    parser.add_argument("--head_type", type=str, default="linear")
+    parser.add_argument("--slot_matching_method", type=str, default="matching")
+    parser.set_defaults(model="slot_vit_base_patch16_224", data_set="HVU-EVAL")
+    return parser.parse_args(argv)
+
+
+def validation_block(loader, forward_fn, batch_size, num_action, which: str):
+    """which='action': action logits vs action labels; 'scene': scene
+    logits vs scene labels (offset by num_action in the unified head,
+    ref engine_for_slot_hvu.py:203-280). Returns top-1/top-5."""
+    logits_all, labels_all = [], []
+    for batch in loader:
+        videos = batch["videos"]
+        n = videos.shape[0]
+        if n < batch_size:
+            videos = np.concatenate([videos, np.repeat(videos[-1:], batch_size - n, 0)], 0)
+        action_logit, scene_logit = jax.device_get(forward_fn(videos))
+        if which == "action":
+            logits_all.append(np.asarray(action_logit)[:n, :num_action])
+            labels_all.append(np.asarray(batch["labels"])[:n])
+        else:
+            logits_all.append(np.asarray(scene_logit)[:n, num_action:])
+            labels_all.append(np.asarray(batch["scene_labels"])[:n])
+    logits = np.concatenate(logits_all)
+    labels = np.concatenate(labels_all)
+    t1, t5 = accuracy_topk(logits, labels)
+    return {"acc1": t1, "acc5": t5}
+
+
+def main(args=None):
+    args = args or get_args()
+    model = build_hvu_model(args)
+    x = jnp.zeros((1, args.num_frames, args.input_size, args.input_size, 3), jnp.float32)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(args.seed)}, x)["params"]
+    agg_unique = 1 if args.agg_weights_tie else args.agg_depth
+    params, _ = finetune_surgery(
+        args, "slot", params, HVU_NUM_ACTION_CLASSES + HVU_NUM_SCENE_CLASSES,
+        agg_unique_layers=agg_unique,
+    )
+
+    @jax.jit
+    def forward_fn(videos):
+        out = model.apply({"params": params}, videos, deterministic=True)
+        return out["action_logit"], out["scene_logit"]
+
+    datasets, (num_action, _) = build_dataset(False, False, make_data_config(args))
+    seen_ds, unseen_ds = datasets
+    results = {}
+    for name, ds in (("seen", seen_ds), ("unseen", unseen_ds)):
+        loader = make_eval_loader(ds, args)
+        results[f"action_{name}"] = validation_block(
+            loader, forward_fn, args.batch_size, num_action, "action")
+        loader = make_eval_loader(ds, args)
+        results[f"scene_{name}"] = validation_block(
+            loader, forward_fn, args.batch_size, num_action, "scene")
+    for k, v in results.items():  # 4 metric blocks (ref :337-340)
+        print(f"{k}: top-1 {v['acc1']:.2f} top-5 {v['acc5']:.2f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Multi-task (action CLS token + scene token) baseline training.
+
+ref: run_multi_task_finetuning.py (696 LoC) + engine/engine_for_multi_task.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devias_tpu.ckpt import auto_resume
+from devias_tpu.cli.common import (
+    build_shared_parser,
+    finetune_surgery,
+    make_data_config,
+    make_eval_loader,
+    make_optim_config,
+    make_train_loader,
+    run_train_loop,
+    tiny_overrides,
+)
+from devias_tpu.core.dist import make_mesh
+from devias_tpu.data import build_dataset
+from devias_tpu.eval import final_test, merge_results, validation_one_epoch
+from devias_tpu.losses import multi_task_loss, cross_entropy, label_smoothing_cross_entropy
+from devias_tpu.nn import create_model
+from devias_tpu.train import TrainState, TrainStepConfig, make_optimizer
+from devias_tpu.train.step import _global_norm
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        "Multi-task ViT finetuning (TPU)", parents=[build_shared_parser("multi-task")]
+    )
+    parser.add_argument("--unified_head", action="store_true", default=False)
+    parser.add_argument("--logit_criterion", default="KL", choices=["KL", "CE"], type=str)
+    parser.add_argument("--logit_criterion_weight", default=1.0, type=float)
+    parser.add_argument("--scene_model_path", default="", type=str)
+    parser.add_argument("--eval_scene", action="store_true")
+    parser.set_defaults(model="disentangle_vit_base_patch16_224")
+    return parser.parse_args(argv)
+
+
+def main(args=None):
+    args = args or get_args()
+    np.random.seed(args.seed + jax.process_index())
+    mesh = make_mesh()
+    rank, world = jax.process_index(), jax.process_count()
+    tiny = tiny_overrides(args)
+
+    model = create_model(
+        args.model,
+        num_classes=args.nb_classes,
+        num_scene_classes=365,
+        tubelet_size=args.tubelet_size,
+        fc_drop_rate=args.fc_drop_rate,
+        drop_rate=args.drop,
+        drop_path_rate=args.drop_path,
+        attn_drop_rate=args.attn_drop_rate,
+        init_scale=args.init_scale,
+        unified_head=args.unified_head,
+        remat=args.use_checkpoint,
+        dtype=jnp.bfloat16,
+        **tiny,
+    )
+    teacher = create_model(
+        "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,
+        tubelet_size=args.tubelet_size, dtype=jnp.bfloat16, **tiny,
+    )
+    x = jnp.zeros((1, args.num_frames, args.input_size, args.input_size, 3), jnp.float32)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(args.seed)}, x)["params"]
+    tparams = jax.jit(teacher.init)({"params": jax.random.PRNGKey(args.seed + 1)}, x)["params"]
+    total_head = args.nb_classes + (365 if args.unified_head else 0)
+    params, _ = finetune_surgery(args, "multi_task", params, total_head)
+    if args.scene_model_path:
+        from devias_tpu.ckpt import import_torch_state_dict, load_torch_checkpoint_file
+        from devias_tpu.ckpt.torch_import import merge_params
+
+        sd = load_torch_checkpoint_file(args.scene_model_path)
+        tparams, _ = merge_params(
+            tparams, import_torch_state_dict(sd, "plain", expected_head_out=365)
+        )
+
+    @jax.jit
+    def _action_logits(p, videos):
+        out = model.apply({"params": p}, videos, deterministic=True)
+        return out["action_logit"][:, : args.nb_classes]
+
+    @jax.jit
+    def _scene_logits(p, videos):
+        out = model.apply({"params": p}, videos, deterministic=True)
+        logits = out["scene_logit"]
+        return logits[:, args.nb_classes :] if args.unified_head else logits
+
+    @jax.jit
+    def teacher_logits_fn(videos):
+        return teacher.apply({"params": tparams}, videos, deterministic=True)["logits"]
+
+    params_ref = [params]
+    action_logits_fn = lambda v: _action_logits(params_ref[0], v)
+    scene_logits_fn = lambda v: _scene_logits(params_ref[0], v)
+
+    out_dir = args.output_dir or "."
+    ntasks = world if args.dist_eval else 1
+
+    if args.eval or args.eval_scene:
+        ds_test, _ = build_dataset(False, True, make_data_config(args))
+        loader = make_eval_loader(ds_test, args)
+        if args.eval:
+            final_test(loader, action_logits_fn, args.batch_size,
+                       os.path.join(out_dir, "test"), rank=rank)
+            if rank == 0:
+                top1, top5 = merge_results(os.path.join(out_dir, "test"), ntasks)
+                print(f"Final top-1 {top1:.2f} top-5 {top5:.2f}")
+        if args.eval_scene:
+            final_test(loader, scene_logits_fn, args.batch_size,
+                       os.path.join(out_dir, "scene_test"), rank=rank,
+                       scene_label_fn=teacher_logits_fn)
+            if rank == 0:
+                top1, top5 = merge_results(os.path.join(out_dir, "scene_test"), ntasks)
+                print(f"Scene top-1 {top1:.2f} top-5 {top5:.2f}")
+        return
+
+    ds_train, _ = build_dataset(True, False, make_data_config(args))
+    loader_train = make_train_loader(ds_train, args)
+    ds_val, _ = build_dataset(False, False, make_data_config(args))
+    loader_val = make_eval_loader(ds_val, args)
+    steps_per_epoch = len(ds_train) // (args.batch_size * args.update_freq * world)
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    opt_cfg = make_optim_config(args, args.epochs * steps_per_epoch, steps_per_epoch)
+    tx, lr_fn = make_optimizer(params, opt_cfg)
+    state = TrainState.create(params, tx, use_ema=args.model_ema)
+    start_epoch = args.start_epoch
+    if args.auto_resume and args.output_dir:
+        restored, step = auto_resume(os.path.join(args.output_dir, "ckpt"), state)
+        if restored is not None:
+            state, start_epoch = restored, step + 1
+
+    criterion = (
+        (lambda lg, lb: label_smoothing_cross_entropy(lg, lb, args.smoothing))
+        if args.smoothing > 0
+        else cross_entropy
+    )
+
+    def micro_loss(p, videos, labels, rng):
+        d1, d2 = jax.random.split(rng)
+        out = model.apply(
+            {"params": p}, videos, deterministic=False,
+            rngs={"dropout": d1, "drop_path": d2},
+        )
+        t = jax.lax.stop_gradient(
+            teacher.apply({"params": tparams}, videos, deterministic=True)["logits"]
+        )
+        total, action_logit, parts = multi_task_loss(
+            out, t, labels, num_action_classes=args.nb_classes,
+            logit_criterion=args.logit_criterion,
+            logit_criterion_weight=args.logit_criterion_weight,
+            unified_head=args.unified_head,
+            action_criterion=criterion,
+        )
+        acc = (action_logit[:, : args.nb_classes].argmax(-1) == labels).mean()
+        return total, {**parts, "loss": total, "class_acc": acc}
+
+    grad_fn = jax.grad(micro_loss, has_aux=True)
+
+    def step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, metrics = grad_fn(state.params, batch["videos"], batch["labels"], rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(opt_state=new_opt).apply_updates(updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = _global_norm(grads)
+        metrics["lr"] = lr_fn(state.step)
+        return new_state, metrics
+
+    train_step = jax.jit(step, donate_argnums=(0,))
+
+    def validate(st):
+        params_ref[0] = st.params
+        return validation_one_epoch(loader_val, action_logits_fn, args.batch_size)
+
+    state, _ = run_train_loop(
+        args, mesh, state, train_step, loader_train, steps_per_epoch,
+        validate=validate, start_epoch=start_epoch,
+    )
+    params_ref[0] = state.params
+
+    ds_test, _ = build_dataset(False, True, make_data_config(args))
+    final_test(make_eval_loader(ds_test, args), action_logits_fn, args.batch_size,
+               os.path.join(out_dir, "test"), rank=rank)
+    if rank == 0:
+        top1, top5 = merge_results(os.path.join(out_dir, "test"), ntasks)
+        print(f"Final top-1 {top1:.2f} top-5 {top5:.2f}")
+
+
+if __name__ == "__main__":
+    main()

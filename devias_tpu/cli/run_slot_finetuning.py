@@ -1,0 +1,356 @@
+"""DEVIAS slot training / evaluation entry point.
+
+Flag-compatible with the reference `run_slot_finetuning.py` (published
+commands in docs/TRAIN.md / docs/EVAL.md run unchanged). The torch/
+DeepSpeed-specific flags are accepted and ignored where TPU makes them
+moot (bf16 replaces the fp16 engine).
+
+ref: run_slot_finetuning.py:250-740.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devias_tpu.aug.fame import FAMEConfig
+from devias_tpu.ckpt import auto_resume, save_checkpoint
+from devias_tpu.cli.common import (
+    JsonlLogger,
+    build_shared_parser,
+    finetune_surgery,
+    make_data_config,
+    make_eval_loader,
+    make_optim_config,
+    make_train_loader,
+    tiny_overrides,
+)
+from devias_tpu.core.dist import make_mesh
+from devias_tpu.data import DataConfig, DataLoader, build_dataset
+from devias_tpu.eval import final_test, hat_eval, merge_results, run_scuba, validation_one_epoch
+from devias_tpu.losses import SlotLossConfig
+from devias_tpu.nn import create_model
+from devias_tpu.train import (
+    TrainState,
+    TrainStepConfig,
+    make_optimizer,
+    make_slot_train_step,
+    place_data_parallel,
+)
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        "DEVIAS slot training (TPU)", parents=[build_shared_parser("slot")]
+    )
+    # slot-specific flags (ref run_slot_finetuning.py:43-73, 184-213)
+    parser.add_argument("--run_knn", action="store_true", default=False)
+    parser.add_argument("--run_scuba", action="store_true", default=False)
+    parser.add_argument("--agg_weights_tie", default=False, action="store_true")
+    parser.add_argument("--agg_depth", default=8, type=int)
+    parser.add_argument("--scene_model_path", default="", type=str)
+    parser.add_argument("--mask_model", default="", choices=["FAME", "Segformer", ""], type=str)
+    parser.add_argument("--beta", type=float, default=0.5)
+    parser.add_argument("--prob_aug", type=float, default=0.5)
+    parser.add_argument("--mask_distill_loss_weight", type=float, default=1)
+    parser.add_argument("--mask_prediction_loss_weight", type=float, default=3)
+    parser.add_argument("--scene_loss_weight", type=float, default=4000)
+    parser.add_argument("--scene_criterion", default="KL", choices=["KL", "CE"], type=str)
+    parser.add_argument("--nb_knn", default=[10, 20], nargs="+", type=int)
+    parser.add_argument("--temperature", default=0.07, type=float)
+    parser.add_argument("--num_latents", type=int, default=4)
+    parser.add_argument("--agg_block_scale", type=float, default=0.8)
+    parser.add_argument("--head_type", type=str, default="linear")
+    parser.add_argument(
+        "--slot_matching_method", type=str, default="matching",
+        choices=["hard_select", "matching"],
+    )
+    parser.add_argument("--hat_split", default="1", choices=["1", "2", "3"], type=str)
+    parser.add_argument("--hat_eval", action="store_true")
+    parser.add_argument("--hat_anno_path", default="", type=str)
+    parser.add_argument("--scuba_val", action="store_true")
+    parser.add_argument("--eval_scene", action="store_true")
+    parser.set_defaults(model="slot_vit_base_patch16_224")
+    return parser.parse_args(argv)
+
+
+def build_models(args, dtype=jnp.bfloat16):
+    tiny = tiny_overrides(args)
+    model = create_model(
+        args.model,
+        **tiny,
+        num_classes=args.nb_classes,
+        num_scene_classes=365,
+        tubelet_size=args.tubelet_size,
+        fc_drop_rate=args.fc_drop_rate,
+        drop_rate=args.drop,
+        drop_path_rate=args.drop_path,
+        attn_drop_rate=args.attn_drop_rate,
+        init_scale=args.init_scale,
+        num_latents=args.num_latents,
+        head_type=args.head_type,
+        slot_matching_method=args.slot_matching_method,
+        agg_weights_tie=args.agg_weights_tie,
+        agg_depth=args.agg_depth,
+        remat=args.use_checkpoint,
+        dtype=dtype,
+    )
+    # frozen Places-365 scene teacher: CLS-token variant
+    # (ref run_slot_finetuning.py:392-406, use_mean_pooling=False)
+    teacher = create_model(
+        "vit_base_patch16_224",
+        num_classes=365,
+        tubelet_size=args.tubelet_size,
+        use_mean_pooling=False,
+        dtype=dtype,
+        **tiny,
+    )
+    return model, teacher
+
+
+def init_params(args, model, teacher):
+    x = jnp.zeros((1, args.num_frames, args.input_size, args.input_size, 3), jnp.float32)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(args.seed)}, x)["params"]
+    tparams = jax.jit(teacher.init)({"params": jax.random.PRNGKey(args.seed + 1)}, x)["params"]
+
+    agg_unique = 1 if args.agg_weights_tie else args.agg_depth
+    params, _ = finetune_surgery(args, "slot", params, args.nb_classes + 365,
+                                 agg_unique_layers=agg_unique)
+    if args.scene_model_path:
+        from devias_tpu.ckpt import import_torch_state_dict, load_torch_checkpoint_file
+        from devias_tpu.ckpt.torch_import import merge_params
+
+        sd = load_torch_checkpoint_file(args.scene_model_path)
+        imported = import_torch_state_dict(sd, "plain", expected_head_out=365)
+        tparams, rep = merge_params(tparams, imported)
+        print(f"scene teacher load: {len(rep['loaded'])} tensors")
+    return params, tparams
+
+
+def main(args=None):
+    args = args or get_args()
+    np.random.seed(args.seed + jax.process_index())
+    mesh = make_mesh()
+    rank, world = jax.process_index(), jax.process_count()
+
+    model, teacher = build_models(args)
+    params, tparams = init_params(args, model, teacher)
+
+    loss_cfg = SlotLossConfig(
+        num_action_classes=args.nb_classes,
+        num_scene_classes=365,
+        slot_matching_method=args.slot_matching_method,
+        scene_criterion=args.scene_criterion,
+        scene_loss_weight=args.scene_loss_weight,
+        mask_prediction_loss_weight=args.mask_prediction_loss_weight,
+        mask_distill_loss_weight=args.mask_distill_loss_weight,
+    )
+
+    # jitted eval forwards; params passed explicitly so the latest training
+    # params are used (a closure would bake them in at trace time)
+    @jax.jit
+    def _action_logits(p, videos):
+        return model.apply({"params": p}, videos, deterministic=True)["action_logit"][:, : args.nb_classes]
+
+    @jax.jit
+    def _scene_logits(p, videos):
+        return model.apply({"params": p}, videos, deterministic=True)["scene_logit"][:, args.nb_classes :]
+
+    @jax.jit
+    def _teacher_logits(videos):
+        return teacher.apply({"params": tparams}, videos, deterministic=True)["logits"]
+
+    params_ref = [params]  # updated as training advances
+    action_logits_fn = lambda v: _action_logits(params_ref[0], v)
+    scene_logits_fn = lambda v: _scene_logits(params_ref[0], v)
+    teacher_logits_fn = _teacher_logits
+
+    # ---- pure evaluation modes ------------------------------------------
+    if args.eval or args.eval_scene or args.hat_eval or args.run_scuba or args.run_knn:
+        run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
+                        teacher_logits_fn, rank, world)
+        return
+
+    # ---- training --------------------------------------------------------
+    cfg_train = make_data_config(args)
+    ds_train, nb_classes = build_dataset(True, False, cfg_train)
+    assert nb_classes == args.nb_classes or args.nb_classes != 400, (
+        f"dataset classes {nb_classes} != --nb_classes {args.nb_classes}"
+    )
+    loader_train = make_train_loader(ds_train, args)
+    ds_val, _ = build_dataset(False, False, cfg_train)
+    loader_val = make_eval_loader(ds_val, args)
+
+    steps_per_epoch = len(ds_train) // (args.batch_size * args.update_freq * world)
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    total_steps = args.epochs * steps_per_epoch
+    opt_cfg = make_optim_config(args, total_steps, steps_per_epoch,
+                                agg_block_scale=args.agg_block_scale)
+    tx, lr_fn = make_optimizer(params, opt_cfg)
+    state = TrainState.create(params, tx, use_ema=args.model_ema,
+                              ema_decay=args.model_ema_decay)
+
+    start_epoch = args.start_epoch
+    if args.auto_resume and args.output_dir:
+        restored, step = auto_resume(os.path.join(args.output_dir, "ckpt"), state)
+        if restored is not None:
+            state, start_epoch = restored, step + 1
+            print(f"auto-resumed from epoch {step}")
+
+    step_cfg = TrainStepConfig(
+        update_freq=args.update_freq,
+        use_fame=args.mask_model == "FAME",
+        fame=FAMEConfig(beta=args.beta, prob_aug=args.prob_aug),
+        num_data_shards=mesh.shape["data"],
+    )
+    train_step = jax.jit(
+        make_slot_train_step(model, teacher, tx, loss_cfg, step_cfg, lr_fn),
+        donate_argnums=(0,),
+    )
+
+    logger = JsonlLogger(args.output_dir)
+    best_acc = -1.0
+    rng = jax.random.PRNGKey(args.seed)
+    for epoch in range(start_epoch, args.epochs):
+        loader_train.set_epoch(epoch)
+        t0 = time.time()
+        metrics = {}
+        for it, batch in enumerate(loader_train):
+            if it >= steps_per_epoch:
+                break
+            batch = {"videos": jnp.asarray(batch["videos"]),
+                     "labels": jnp.asarray(batch["labels"])}
+            state, batch = place_data_parallel(mesh, state, batch)
+            state, metrics = train_step(state, tparams, batch, rng)
+            if it % 50 == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                print(f"epoch {epoch} it {it}/{steps_per_epoch} " +
+                      " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())))
+                if not np.isfinite(m["loss"]):
+                    raise RuntimeError(f"Loss is {m['loss']}, stopping training")
+        params_ref[0] = state.params
+        epoch_time = time.time() - t0
+
+        record = {"epoch": epoch, "train_time_s": round(epoch_time, 1)}
+        if metrics:
+            record.update({f"train_{k}": float(v) for k, v in jax.device_get(metrics).items()})
+        if not args.disable_eval_during_finetuning:
+            val = validation_one_epoch(loader_val, action_logits_fn, args.batch_size)
+            record.update({f"val_{k}": round(v, 3) for k, v in val.items()})
+            if val["acc1"] > best_acc and args.output_dir and args.save_ckpt and rank == 0:
+                best_acc = val["acc1"]
+                save_checkpoint(os.path.join(args.output_dir, "ckpt_best"), epoch, state)
+        if args.output_dir and args.save_ckpt and rank == 0 and (
+            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+        ):
+            save_checkpoint(os.path.join(args.output_dir, "ckpt"), epoch, state)
+        logger.write(record)
+        print(record)
+
+    # final test + merge (ref run_slot_finetuning.py:715-726)
+    ds_test, _ = build_dataset(False, True, make_data_config(args))
+    loader_test = make_eval_loader(ds_test, args)
+    final_test(loader_test, action_logits_fn, args.batch_size,
+               os.path.join(args.output_dir or ".", "test"), rank=rank)
+    if rank == 0:
+        top1, top5 = merge_results(os.path.join(args.output_dir or ".", "test"),
+                                   world if args.dist_eval else 1)
+        print(f"Final top-1 {top1:.2f} top-5 {top5:.2f}")
+        logger.write({"final_top1": top1, "final_top5": top5})
+
+
+def run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
+                    teacher_logits_fn, rank, world):
+    out_dir = args.output_dir or "."
+    ntasks = world if args.dist_eval else 1
+
+    if args.eval:
+        ds_test, _ = build_dataset(False, True, make_data_config(args))
+        loader = make_eval_loader(ds_test, args)
+        final_test(loader, action_logits_fn, args.batch_size,
+                   os.path.join(out_dir, "test"), rank=rank)
+        if rank == 0:
+            top1, top5 = merge_results(os.path.join(out_dir, "test"), ntasks)
+            print(f"Final top-1 {top1:.2f} top-5 {top5:.2f}")
+
+    if args.eval_scene:
+        ds_test, _ = build_dataset(False, True, make_data_config(args))
+        loader = make_eval_loader(ds_test, args)
+        final_test(loader, scene_logits_fn, args.batch_size,
+                   os.path.join(out_dir, "scene_test"), rank=rank,
+                   scene_label_fn=teacher_logits_fn)
+        if rank == 0:
+            top1, top5 = merge_results(os.path.join(out_dir, "scene_test"), ntasks)
+            print(f"Scene top-1 {top1:.2f} top-5 {top5:.2f}")
+
+    if args.run_scuba:
+        def make_loader(variant):
+            cfg = make_data_config(
+                args, data_set="SCUBA",
+                anno_path=os.path.join("filelist/scuba", _scuba_ds(args), f"{variant}.csv"),
+                test_num_segment=2, test_num_crop=3,  # forced 2x3 (ref run_scuba.py:19)
+            )
+            ds, _ = build_dataset(False, True, cfg)
+            return make_eval_loader(ds, args)
+
+        res = run_scuba(make_loader, action_logits_fn, args.batch_size, out_dir,
+                        num_tasks=ntasks, rank=rank)
+        print("SCUBA:", res)
+
+    if args.hat_eval:
+        def make_hat_loader(ver, split):
+            cfg = make_data_config(
+                args,
+                anno_path=os.path.join(args.hat_anno_path, f"actionswap_{ver}_{split}.pickle"),
+                test_num_segment=2, test_num_crop=3,
+            )
+            ds, _ = build_dataset(False, True, cfg)
+            return make_eval_loader(ds, args)
+
+        res = hat_eval(make_hat_loader, action_logits_fn, args.batch_size, out_dir,
+                       num_tasks=ntasks, rank=rank)
+        print("HAT:", res)
+
+    if args.run_knn:
+        from devias_tpu.eval.knn import extract_slot_features, run_knn_matrix
+
+        @jax.jit
+        def feature_fn(videos):
+            out = model.apply({"params": params_ref[0]}, videos, deterministic=True)
+            return out["action_feat"], out["scene_feat"]
+
+        results = {}
+        for data_set in ("HMDB51", "UCF101", "Diving-48"):
+            try:
+                cfg = make_data_config(args, data_set=data_set)
+                tr, _ = build_dataset(True, False, cfg)
+                te, _ = build_dataset(False, False, cfg)
+            except (FileNotFoundError, ValueError):
+                continue
+            tr_l = make_eval_loader(tr, args)
+            te_l = make_eval_loader(te, args)
+            tra, trs, tral, trsl = extract_slot_features(
+                tr_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
+            tea, tes, teal, tesl = extract_slot_features(
+                te_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
+            results[data_set] = run_knn_matrix(
+                tra, trs, tral, trsl, tea, tes, teal, tesl,
+                nb_knn=args.nb_knn, temperature=args.temperature,
+                num_action_classes=max(int(tral.max()) + 1, 1),
+                num_scene_classes=365,
+            )
+        print("kNN:", results)
+
+
+def _scuba_ds(args) -> str:
+    return {"Kinetics-400": "k400", "UCF101": "ucf101"}.get(args.data_set, "ucf101")
+
+
+if __name__ == "__main__":
+    main()

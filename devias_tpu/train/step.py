@@ -193,7 +193,8 @@ def make_hvu_train_step(
 
     def step(state: TrainState, batch, rng):
         videos = batch["videos"]
-        al, sl = batch["action_labels"], batch["scene_labels"]
+        al = batch.get("labels", batch.get("action_labels"))
+        sl = batch["scene_labels"]
         B = videos.shape[0]
         mb = B // U
         v = videos.reshape(U, mb, *videos.shape[1:])

@@ -1,0 +1,118 @@
+"""End-to-end CLI smoke tests: every entry point trains/evals a tiny model
+on synthetic data (CPU, 8 virtual devices). These are the e2e regression
+harness the reference lacks (SURVEY §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def filelists(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fl")
+    for name, rows in (
+        ("train.csv", [f"v{i}.mp4 {i % 5}" for i in range(16)]),
+        ("val.csv", [f"w{i}.mp4 {i % 5}" for i in range(8)]),
+        ("test.csv", [f"w{i}.mp4 {i % 5}" for i in range(8)]),
+    ):
+        (d / name).write_text("\n".join(rows))
+    hvu = tmp_path_factory.mktemp("hvu")
+    for name in ("train.csv", "val.csv"):
+        (hvu / name).write_text("\n".join(f"h{i} {i % 6} {i % 3}" for i in range(16)))
+    return {"plain": str(d), "hvu": str(hvu)}
+
+
+BASE = [
+    "--synthetic_data", "--smoke_tiny", "--batch_size", "4", "--epochs", "1",
+    "--num_frames", "8", "--sampling_rate", "2", "--input_size", "32",
+    "--short_side_size", "32", "--test_num_segment", "2", "--test_num_crop", "2",
+    "--num_workers", "2", "--no_save_ckpt", "--warmup_epochs", "0",
+    "--drop_path", "0.0", "--max_steps_per_epoch", "2",
+]
+
+
+def test_run_slot_finetuning_train(filelists, tmp_path):
+    from devias_tpu.cli.run_slot_finetuning import get_args, main
+
+    args = get_args(BASE + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--num_latents", "2", "--agg_depth", "2",
+        "--agg_weights_tie", "--mask_model", "FAME", "--beta", "0.25",
+        "--output_dir", str(tmp_path),
+    ])
+    main(args)
+    assert os.path.exists(tmp_path / "log.txt")
+    assert os.path.exists(tmp_path / "test" / "0.txt")
+
+
+def test_run_slot_finetuning_eval(filelists, tmp_path):
+    from devias_tpu.cli.run_slot_finetuning import get_args, main
+
+    args = get_args(BASE + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--num_latents", "2", "--agg_depth", "2",
+        "--eval", "--output_dir", str(tmp_path),
+    ])
+    main(args)
+    assert os.path.exists(tmp_path / "test" / "0.txt")
+
+
+def test_run_class_finetuning(filelists, tmp_path):
+    from devias_tpu.cli.run_class_finetuning import get_args, main
+
+    args = get_args(BASE + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--output_dir", str(tmp_path),
+    ])
+    main(args)
+    assert os.path.exists(tmp_path / "log.txt")
+
+
+def test_run_multi_task_finetuning(filelists, tmp_path):
+    from devias_tpu.cli.run_multi_task_finetuning import get_args, main
+
+    args = get_args(BASE + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--output_dir", str(tmp_path),
+    ])
+    main(args)
+    assert os.path.exists(tmp_path / "log.txt")
+
+
+def test_run_slot_finetuning_hvu(filelists, tmp_path):
+    from devias_tpu.cli.run_slot_finetuning_hvu import get_args, main
+
+    args = get_args(BASE + [
+        "--data_path", filelists["hvu"], "--data_set", "HVU",
+        "--num_latents", "2", "--agg_depth", "2", "--agg_weights_tie",
+        "--output_dir", str(tmp_path),
+    ])
+    main(args)
+    assert os.path.exists(tmp_path / "log.txt")
+
+
+def test_eval_slot_finetuning_hvu(filelists):
+    from devias_tpu.cli.eval_slot_finetuning_hvu import get_args, main
+
+    seen = os.path.join(filelists["hvu"], "train.csv")
+    unseen = os.path.join(filelists["hvu"], "val.csv")
+    args = get_args(BASE + [
+        "--anno_path", f"{seen} {unseen}",
+        "--num_latents", "2", "--agg_depth", "2",
+    ])
+    results = main(args)
+    assert set(results) == {"action_seen", "action_unseen", "scene_seen", "scene_unseen"}
+
+
+def test_run_slot_downstream(filelists, tmp_path):
+    from devias_tpu.cli.run_slot_downstream import get_args, main
+
+    args = get_args(BASE + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--downstream_nb_classes", "5",
+        "--num_latents", "2", "--agg_depth", "2", "--agg_weights_tie",
+        "--output_dir", str(tmp_path),
+    ])
+    main(args)
+    assert os.path.exists(tmp_path / "log.txt")

@@ -1,0 +1,149 @@
+"""Eval layer tests: result-file round trip, merge dedup semantics, view
+averaging, kNN classifier vs torch oracle, protocol wiring."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from devias_tpu.eval import (
+    count_hat_acc,
+    final_test,
+    knn_classifier,
+    merge_results,
+    run_knn_matrix,
+    softmax_np,
+    validation_one_epoch,
+    write_result_file,
+)
+from devias_tpu.eval.merge import parse_result_file
+
+
+def test_result_file_roundtrip(tmp_path):
+    logits = np.asarray([[0.1, -2.0, 3.5], [1.0, 0.0, -1.0]])
+    write_result_file(
+        str(tmp_path / "0.txt"), ["vidA", "vidB"], logits, [2, 0], [0, 1], [1, 2]
+    )
+    rows = parse_result_file(str(tmp_path / "0.txt"))
+    assert rows[0][0] == "vidA"
+    np.testing.assert_allclose(rows[0][1], logits[0], rtol=1e-6)
+    assert rows[0][2] == "2" and rows[0][3] == "0" and rows[0][4] == "1"
+
+
+def test_merge_softmax_mean_and_dedup(tmp_path):
+    # video 'v' has views (0,0) and (1,0); a duplicate (0,0) must be dropped
+    l1 = np.asarray([2.0, 0.0, 0.0])
+    l2 = np.asarray([0.0, 3.0, 0.0])
+    dup = np.asarray([50.0, 0.0, 0.0])
+    write_result_file(
+        str(tmp_path / "0.txt"), ["v", "v", "v"],
+        np.stack([l1, l2, dup]), [1, 1, 1], [0, 1, 0], [0, 0, 0],
+    )
+    top1, top5 = merge_results(str(tmp_path), 1)
+    mean = (softmax_np(l1) + softmax_np(l2)) / 2
+    want_top1 = 100.0 * float(np.argmax(mean) == 1)
+    assert top1 == want_top1
+    assert top5 == 100.0
+
+
+def test_merge_multi_rank(tmp_path):
+    write_result_file(str(tmp_path / "0.txt"), ["a"], np.asarray([[5.0, 0.0]]), [0], [0], [0])
+    write_result_file(str(tmp_path / "1.txt"), ["b"], np.asarray([[0.0, 5.0]]), [0], [0], [0])
+    top1, _ = merge_results(str(tmp_path), 2)
+    assert top1 == 50.0  # 'a' right, 'b' wrong
+
+
+def test_knn_matches_torch_oracle():
+    rng = np.random.default_rng(0)
+    ntr, nte, d, nc = 64, 32, 16, 5
+    trf = rng.normal(size=(ntr, d)).astype(np.float32)
+    tef = rng.normal(size=(nte, d)).astype(np.float32)
+    trl = rng.integers(0, nc, ntr)
+    tel = rng.integers(0, nc, nte)
+    trf = trf / np.linalg.norm(trf, axis=1, keepdims=True)
+    tef = tef / np.linalg.norm(tef, axis=1, keepdims=True)
+    k, T = 10, 0.07
+    top1, top5 = knn_classifier(trf, trl, tef, tel, k, T, nc)
+
+    # torch oracle (ref run_knn.py:123-163 semantics)
+    sim = torch.from_numpy(tef) @ torch.from_numpy(trf).T
+    dist, idx = sim.topk(k, largest=True, sorted=True)
+    neigh = torch.from_numpy(trl)[idx]
+    onehot = torch.zeros(nte, k, nc).scatter_(2, neigh.unsqueeze(-1), 1)
+    probs = (onehot * (dist / T).exp().unsqueeze(-1)).sum(1)
+    order = probs.argsort(dim=1, descending=True)
+    t1 = (order[:, 0] == torch.from_numpy(tel)).float().mean().item() * 100
+    t5 = (order[:, :5] == torch.from_numpy(tel)[:, None]).any(1).float().mean().item() * 100
+    assert abs(top1 - t1) < 1e-6
+    assert abs(top5 - t5) < 1e-6
+
+
+def test_run_knn_matrix_shapes():
+    rng = np.random.default_rng(1)
+    f = lambda n: rng.normal(size=(n, 8)).astype(np.float32)
+    l = lambda n, c: rng.integers(0, c, n)
+    out = run_knn_matrix(
+        f(40), f(40), l(40, 4), l(40, 3),
+        f(20), f(20), l(20, 4), l(20, 3),
+        nb_knn=(5,), num_action_classes=4, num_scene_classes=3,
+    )
+    assert set(out) == {
+        "action_feat/action_label", "scene_feat/scene_label",
+        "action_train/scene_test_feat", "scene_train/action_test_feat",
+    }
+    for cell in out.values():
+        (t1, t5) = cell[5]
+        assert 0 <= t1 <= 100 and 0 <= t5 <= 100
+
+
+class _FakeLoader:
+    """Deterministic batches for protocol tests."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_validation_one_epoch_counts():
+    logits_map = {0: [5.0, 0.0], 1: [0.0, 5.0]}
+
+    def forward(videos):
+        # 'videos' carries the class in channel 0
+        cls = np.asarray(videos)[:, 0].astype(int)
+        return jnp.asarray([logits_map[int(c)] for c in cls])
+
+    batches = [
+        {"videos": np.asarray([[0.0], [1.0]]), "labels": np.asarray([0, 0])},
+        {"videos": np.asarray([[1.0]]), "labels": np.asarray([1])},
+    ]
+    out = validation_one_epoch(_FakeLoader(batches), forward, batch_size=2)
+    assert abs(out["acc1"] - 100 * 2 / 3) < 1e-9
+
+
+def test_final_test_writes_and_merges(tmp_path):
+    def forward(videos):
+        cls = np.asarray(videos)[:, 0].astype(int)
+        return jnp.asarray([[5.0, 0.0] if c == 0 else [0.0, 5.0] for c in cls])
+
+    batches = [
+        {
+            "videos": np.asarray([[0.0], [1.0]]),
+            "labels": np.asarray([0, 1]),
+            "video_id": ["va", "vb"],
+            "chunk": np.asarray([0, 0]),
+            "split": np.asarray([0, 0]),
+        }
+    ]
+    stats = final_test(_FakeLoader(batches), forward, 2, str(tmp_path))
+    assert stats["acc1"] == 100.0
+    top1, top5 = merge_results(str(tmp_path), 1)
+    assert top1 == 100.0
+
+
+def test_count_hat_acc():
+    out = count_hat_acc([(50.0, 80.0), (60.0, 90.0), (70.0, 100.0)])
+    assert out["acc1"] == 60.0 and out["acc5"] == 90.0
