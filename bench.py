@@ -17,6 +17,10 @@ import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,9 +44,11 @@ def main():
         "slot_vit_base_patch16_224",
         num_classes=400, num_scene_classes=365, num_latents=2,
         agg_depth=8, agg_weights_tie=True, dtype=jnp.bfloat16,
+        fused_attention=True,
     )
     teacher = create_model(
-        "vit_base_patch16_224", num_classes=365, dtype=jnp.bfloat16
+        "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,
+        dtype=jnp.bfloat16, fused_attention=True,
     )
 
     x = jnp.zeros((BATCH, 16, 224, 224, 3), jnp.float32)

@@ -94,6 +94,8 @@ class SlotViT(nn.Module):
     head_type: str = "linear"
     use_learnable_pos_emb: bool = False
     remat: bool = False
+    fused_attention: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -112,6 +114,8 @@ class SlotViT(nn.Module):
             tubelet_size=self.tubelet_size,
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             remat=self.remat,
+            fused_attention=self.fused_attention,
+            fused_interpret=self.fused_interpret,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)
@@ -198,6 +202,8 @@ class PlainViT(nn.Module):
     use_mean_pooling: bool = True
     use_learnable_pos_emb: bool = False
     remat: bool = False
+    fused_attention: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -218,6 +224,8 @@ class PlainViT(nn.Module):
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             final_norm=not self.use_mean_pooling,
             remat=self.remat,
+            fused_attention=self.fused_attention,
+            fused_interpret=self.fused_interpret,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)
@@ -261,6 +269,8 @@ class MultiTaskViT(nn.Module):
     unified_head: bool = False
     use_learnable_pos_emb: bool = False
     remat: bool = False
+    fused_attention: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -281,6 +291,8 @@ class MultiTaskViT(nn.Module):
             num_extra_suffix_tokens=1,
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             remat=self.remat,
+            fused_attention=self.fused_attention,
+            fused_interpret=self.fused_interpret,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)
@@ -349,6 +361,8 @@ class SlotFusionViT(nn.Module):
     use_input_ln: bool = False
     use_learnable_pos_emb: bool = False
     remat: bool = False
+    fused_attention: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -367,6 +381,8 @@ class SlotFusionViT(nn.Module):
             tubelet_size=self.tubelet_size,
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             remat=self.remat,
+            fused_attention=self.fused_attention,
+            fused_interpret=self.fused_interpret,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)

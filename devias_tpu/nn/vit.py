@@ -78,13 +78,20 @@ class Mlp(nn.Module):
 class Attention(nn.Module):
     """Multi-head self-attention with the VideoMAE fused-QKV bias trick:
     one [D, 3D] kernel, learnable q_bias and v_bias, k bias fixed to zero
-    (ref: model/modeling_slot.py:70-117)."""
+    (ref: model/modeling_slot.py:70-117).
+
+    fused=True routes through the Pallas fused-attention kernel
+    (devias_tpu.kernels.attention) — same math, no [B, H, N, N]
+    materialization in HBM. Requires attn_drop == 0 (the published DEVIAS
+    recipes never enable attention dropout)."""
 
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    fused: bool = False
+    fused_interpret: bool = False  # Pallas interpreter (CPU tests)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -104,15 +111,29 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        if self.fused and not return_attn and self.attn_drop == 0.0:
+            from devias_tpu.kernels.attention import fused_attention
 
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+            out = fused_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                scale,
+                None,
+                self.fused_interpret,
+            ).transpose(0, 2, 1, 3).reshape(B, N, C)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+            if return_attn:
+                out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc02, name="proj")(out)
+                out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+                return out, attn
+
         out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc02, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
-        if return_attn:
-            return out, attn
         return out
 
 
@@ -129,6 +150,8 @@ class Block(nn.Module):
     drop_path_rate: float = 0.0
     init_values: float = 0.0
     norm_eps: float = 1e-6
+    fused_attention: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -141,6 +164,8 @@ class Block(nn.Module):
             qk_scale=self.qk_scale,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            fused=self.fused_attention,
+            fused_interpret=self.fused_interpret,
             dtype=self.dtype,
             name="attn",
         )(y, deterministic=deterministic)
@@ -237,6 +262,8 @@ class VideoViT(nn.Module):
     num_extra_suffix_tokens: int = 0
     final_norm: bool = True
     remat: bool = False
+    fused_attention: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -288,6 +315,8 @@ class VideoViT(nn.Module):
                 drop_path_rate=float(dpr[i]),
                 init_values=self.init_values,
                 norm_eps=self.norm_eps,
+                fused_attention=self.fused_attention,
+                fused_interpret=self.fused_interpret,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)
