@@ -52,6 +52,11 @@ class FAMEConfig:
     prob_aug: float = 0.5  # per-sample probability of using the mixed clip
     crop_size: int = 112  # sets the blur kernel; reference default preserved
     patch_size: int = 16  # pooling for the patch-grid masks
+    # exact_topk=True reproduces the reference's exact top-k pixel selection
+    # (full sorts — ~3x slower on TPU); False selects by histogram-quantile
+    # thresholds (<=1/2048 of the value range off the exact cut, which only
+    # moves tie-adjacent pixels).
+    exact_topk: bool = False
 
     @property
     def gauss_size(self) -> int:
@@ -116,9 +121,11 @@ def _rgb_to_hsv(rgb: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray
 
 def _color_map(frame: jnp.ndarray) -> jnp.ndarray:
     """Quantize each pixel into a 10x10x10 HSV-cylinder histogram bin
-    (ref fame.py:52-63). frame: [B, H, W, 3] in [0,1]; returns int32
-    [B, H*W] bin ids in [0, 1000]."""
-    h, s, v = _rgb_to_hsv(frame)
+    (ref fame.py:52-63). frame: [B, H, W, 3], clipped to [0,1] (real video
+    denormalizes into range; the clip only guards synthetic/augmented
+    inputs from producing out-of-range bins). Returns int32 [B, H*W] bin
+    ids in [0, 1000]."""
+    h, s, v = _rgb_to_hsv(jnp.clip(frame, 0.0, 1.0))
     two_pi = 2.0 * jnp.pi
     hx = (s * jnp.cos(h * two_pi) + 1.0) / 2.0
     hy = (s * jnp.sin(h * two_pi) + 1.0) / 2.0
@@ -130,24 +137,53 @@ def _color_map(frame: jnp.ndarray) -> jnp.ndarray:
     return cmap.reshape(B, -1).astype(jnp.int32)
 
 
+def _top_fraction_threshold(x: jnp.ndarray, frac: float, iters: int = 16) -> jnp.ndarray:
+    """Per-sample threshold t with |{x >= t}| ~= frac * N over [0,1]-valued
+    x, by bisection on the survival fraction — pure VPU reductions (TPU
+    scatters/sorts are the expensive alternatives). Maintains the top-k
+    invariant of never under-selecting: the returned lo always satisfies
+    frac(x >= lo) >= frac. x: [B, N] -> t: [B, 1]."""
+    B = x.shape[0]
+    lo = jnp.zeros((B, 1), x.dtype)
+    hi = jnp.ones((B, 1), x.dtype)
+    for _ in range(iters):
+        mid = (lo + hi) * 0.5
+        ge = (x >= mid).mean(axis=-1, keepdims=True)
+        take_mid = ge >= frac
+        lo = jnp.where(take_mid, mid, lo)
+        hi = jnp.where(take_mid, hi, mid)
+    return lo
+
+
 def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEConfig):
     """Color-histogram refinement + top-beta binarization (ref fame.py:43-85).
-    mask: [B, H, W] saliency; mean_frame: [B, H, W, 3] (temporal mean)."""
+    mask: [B, H, W] saliency in [0,1]; mean_frame: [B, H, W, 3]."""
     B, H, W = mask.shape
-    n_fg = int(0.5 * H * W)
-    n_bg = int(0.1 * H * W)
     flat = mask.reshape(B, -1)
-    _, fg_idx = jax.lax.top_k(flat, n_fg)
-    _, bg_idx = jax.lax.top_k(-flat, n_bg)
-
     cmap = _color_map(mean_frame)  # [B, H*W], bins in [0, 1000]
     n_bins = _DIM * _DIM * _DIM + 1  # bin ids can reach exactly 1000
 
-    col_fg = jnp.take_along_axis(cmap, fg_idx, axis=1)
-    col_bg = jnp.take_along_axis(cmap, bg_idx, axis=1)
-    hist = jax.vmap(lambda c: jnp.bincount(c, length=n_bins))
-    dict_fg = hist(col_fg).astype(jnp.float32)
-    dict_bg = hist(col_bg).astype(jnp.float32) + 1.0
+    if cfg.exact_topk:
+        n_fg = int(0.5 * H * W)
+        n_bg = int(0.1 * H * W)
+        _, fg_idx = jax.lax.top_k(flat, n_fg)
+        _, bg_idx = jax.lax.top_k(-flat, n_bg)
+        col_fg = jnp.take_along_axis(cmap, fg_idx, axis=1)
+        col_bg = jnp.take_along_axis(cmap, bg_idx, axis=1)
+        hist = jax.vmap(lambda c: jnp.bincount(c, length=n_bins))
+        dict_fg = hist(col_fg).astype(jnp.float32)
+        dict_bg = hist(col_bg).astype(jnp.float32) + 1.0
+    else:
+        # weighted histograms over threshold-selected pixels (same pixels as
+        # the exact top-k up to value ties at the quantile cut)
+        t_fg = _top_fraction_threshold(flat, 0.5)
+        t_bg = _top_fraction_threshold(flat, 0.9)  # bottom 10% = not top 90%
+        w_fg = (flat >= t_fg).astype(jnp.float32)
+        w_bg = (flat < t_bg).astype(jnp.float32)
+        whist = jax.vmap(lambda c, w: jnp.bincount(c, weights=w, length=n_bins))
+        dict_fg = whist(cmap, w_fg)
+        dict_bg = whist(cmap, w_bg) + 1.0
+
     dict_fg = dict_fg / (dict_fg.sum(axis=-1, keepdims=True) + _EPS)
     dict_bg = dict_bg / (dict_bg.sum(axis=-1, keepdims=True) + _EPS)
 
@@ -158,12 +194,15 @@ def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEC
     refine = _gaussian_blur(refine, cfg.gauss_size, cfg.gauss_sigma)
     refine = _minmax_norm(refine)
 
-    # binarize exactly the top beta*H*W pixels (ref fame.py:80-85)
-    num_fg = int(beta * H * W)
-    _, top_idx = jax.lax.top_k(refine.reshape(B, -1), num_fg)
-    out = jnp.zeros((B, H * W), jnp.float32)
-    out = out.at[jnp.arange(B)[:, None], top_idx].set(1.0)
-    return out.reshape(B, H, W)
+    # binarize the top beta*H*W pixels (ref fame.py:80-85)
+    if cfg.exact_topk:
+        num_fg = int(beta * H * W)
+        _, top_idx = jax.lax.top_k(refine.reshape(B, -1), num_fg)
+        out = jnp.zeros((B, H * W), jnp.float32)
+        out = out.at[jnp.arange(B)[:, None], top_idx].set(1.0)
+        return out.reshape(B, H, W)
+    t = _top_fraction_threshold(refine.reshape(B, -1), beta)
+    return (refine.reshape(B, -1) >= t).astype(jnp.float32).reshape(B, H, W)
 
 
 def _clip_saliency(video: jnp.ndarray, cfg: FAMEConfig) -> jnp.ndarray:

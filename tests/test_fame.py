@@ -22,7 +22,7 @@ def test_fame_shapes_and_mask_budget():
     rng = np.random.default_rng(0)
     videos = _batch(rng)
     labels = jnp.arange(2)
-    cfg = FAMEConfig(beta=0.5, prob_aug=0.5, patch_size=16)
+    cfg = FAMEConfig(beta=0.5, prob_aug=0.5, patch_size=16, exact_topk=True)
     out_videos, out_labels, (fg, fg_pf) = fame_augment(
         jax.random.PRNGKey(0), videos, labels, cfg
     )
@@ -40,7 +40,7 @@ def test_fame_mix_preserves_foreground():
     the donor (ref fame.py:122-123)."""
     rng = np.random.default_rng(1)
     videos = _batch(rng)
-    cfg = FAMEConfig(beta=0.3, prob_aug=1.0)
+    cfg = FAMEConfig(beta=0.3, prob_aug=1.0, exact_topk=True)
     key = jax.random.PRNGKey(3)
     mean = jnp.zeros(3)
     std = jnp.ones(3)
@@ -122,3 +122,27 @@ def test_fame_under_jit():
     out_videos, _, (fg, fg_pf) = f(jax.random.PRNGKey(0), videos, jnp.arange(2))
     assert out_videos.shape == videos.shape
     assert np.isfinite(np.asarray(fg)).all()
+
+
+def test_fast_quantile_mask_close_to_exact():
+    """The histogram-quantile fast path must select (almost) the same
+    pixels as the exact top-k path."""
+    rng = np.random.default_rng(10)
+    videos = _batch(rng, B=2, T=8, HW=64)
+    exact, _ = compute_fame_masks(videos, FAMEConfig(beta=0.4, exact_topk=True))
+    fast, _ = compute_fame_masks(videos, FAMEConfig(beta=0.4, exact_topk=False))
+    exact, fast = np.asarray(exact), np.asarray(fast)
+    # areas within 2% of budget, overlap (IoU) high
+    assert abs(fast.mean() - 0.4) < 0.02
+    inter = (exact * fast).sum()
+    union = ((exact + fast) > 0).sum()
+    assert inter / union > 0.9, inter / union
+
+
+def test_fast_mask_area_budget():
+    rng = np.random.default_rng(11)
+    videos = _batch(rng, B=3, T=8, HW=64)
+    for beta in (0.25, 0.5):
+        mask, per = compute_fame_masks(videos, FAMEConfig(beta=beta))
+        assert abs(float(np.asarray(mask).mean()) - beta) < 0.02
+        assert abs(float(np.asarray(per).mean()) - beta) < 0.02
