@@ -53,10 +53,17 @@ class FAMEConfig:
     crop_size: int = 112  # sets the blur kernel; reference default preserved
     patch_size: int = 16  # pooling for the patch-grid masks
     # exact_topk=True reproduces the reference's exact top-k pixel selection
-    # (full sorts — ~3x slower on TPU); False selects by histogram-quantile
-    # thresholds (<=1/2048 of the value range off the exact cut, which only
-    # moves tie-adjacent pixels).
+    # (full sorts); False selects by bisection thresholds (never
+    # under-selects; only tie-adjacent pixels move).
     exact_topk: bool = False
+    # Per-tubelet masks are only consumed pooled to the 14x14 patch grid
+    # (ref fame.py:146-148), yet the reference computes them at 224x224 —
+    # where TPU-hostile small-table gathers/scatters in the color histogram
+    # dominate the whole step. Downsampling the per-tubelet getSeg by this
+    # factor cuts that work ~16x with near-identical pooled targets.
+    # 1 = full reference resolution. The clip-level mixing mask always
+    # stays full resolution.
+    tubelet_mask_downsample: int = 4
 
     @property
     def gauss_size(self) -> int:
@@ -187,9 +194,11 @@ def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEC
     dict_fg = dict_fg / (dict_fg.sum(axis=-1, keepdims=True) + _EPS)
     dict_bg = dict_bg / (dict_bg.sum(axis=-1, keepdims=True) + _EPS)
 
-    pr_fg = jnp.take_along_axis(dict_fg, cmap, axis=1)
-    pr_bg = jnp.take_along_axis(dict_bg, cmap, axis=1)
-    refine = (pr_fg / (pr_bg + pr_fg)).reshape(B, H, W)
+    # fold the posterior onto the 1001-entry table, then gather ONCE —
+    # per-pixel gathers are the TPU-expensive op here, and
+    # pr_fg/(pr_fg+pr_bg) is a pure function of the color bin
+    ratio = dict_fg / (dict_bg + dict_fg)
+    refine = jnp.take_along_axis(ratio, cmap, axis=1).reshape(B, H, W)
 
     refine = _gaussian_blur(refine, cfg.gauss_size, cfg.gauss_sigma)
     refine = _minmax_norm(refine)
@@ -212,24 +221,45 @@ def _clip_saliency(video: jnp.ndarray, cfg: FAMEConfig) -> jnp.ndarray:
     return _minmax_norm(m)
 
 
+def _downsample(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Average-pool [..., H, W(, C)] by d along the two spatial axes."""
+    if d == 1:
+        return x
+    if x.ndim == 3:  # [B, H, W]
+        B, H, W = x.shape
+        return x.reshape(B, H // d, d, W // d, d).mean(axis=(2, 4))
+    B, H, W, C = x.shape
+    return x.reshape(B, H // d, d, W // d, d, C).mean(axis=(2, 4))
+
+
 def compute_fame_masks(video: jnp.ndarray, cfg: FAMEConfig):
-    """Returns (mask [B,H,W], masks_per_tubelet [B,T/2,H,W]) on the
-    DENORMALIZED video [B,T,H,W,C]."""
+    """Returns (mask [B,H,W], masks_per_tubelet [B,T/2,H',W']) on the
+    DENORMALIZED video [B,T,H,W,C]. H'=H/tubelet_mask_downsample — the
+    caller only ever pools these to the patch grid."""
     B, T, H, W, C = video.shape
     mean_frame = video.mean(axis=1)  # [B,H,W,C]
 
     sal = _clip_saliency(video, cfg)
     mask = _get_seg(sal, mean_frame, cfg.beta, cfg)
 
-    # per-tubelet: pairwise diff (i, i+1), stride 2 (ref fame.py:97-108)
+    # per-tubelet: pairwise diff (i, i+1), stride 2 (ref fame.py:97-108),
+    # computed at reduced resolution (see FAMEConfig.tubelet_mask_downsample)
+    d_factor = cfg.tubelet_mask_downsample
+    if H % d_factor or W % d_factor or cfg.patch_size % d_factor:
+        d_factor = 1
     pairs = video.reshape(B, T // 2, 2, H, W, C)
     diffs = jnp.abs(pairs[:, :, 0] - pairs[:, :, 1]).sum(axis=-1)  # [B,T/2,H,W]
-    diffs = diffs.reshape(B * (T // 2), H, W)
-    d = _gaussian_blur(diffs, cfg.gauss_size, cfg.gauss_sigma)
+    diffs = _downsample(diffs.reshape(B * (T // 2), H, W), d_factor)
+    # blur kernel scales with resolution (11 @224 -> 3 @56)
+    gs = max(cfg.gauss_size // d_factor // 2 * 2 + 1, 3) if d_factor > 1 else cfg.gauss_size
+    d = _gaussian_blur(diffs, gs, gs / 3.0)
     d = _minmax_norm(d)
     # each per-tubelet saliency refined against the same clip-mean frame
-    mean_rep = jnp.repeat(mean_frame, T // 2, axis=0)
-    per = _get_seg(d, mean_rep, cfg.beta, cfg).reshape(B, T // 2, H, W)
+    mean_small = _downsample(mean_frame, d_factor)
+    mean_rep = jnp.repeat(mean_small, T // 2, axis=0)
+    per = _get_seg(d, mean_rep, cfg.beta, cfg).reshape(
+        B, T // 2, H // d_factor, W // d_factor
+    )
     return mask, per
 
 
@@ -303,7 +333,10 @@ def _fame_core(rng, videos, cfg: FAMEConfig, mean, std):
     videos_out = jnp.where(keep[:, None, None, None, None], fused, videos)
 
     fg_mask = _pool_to_patches(mask, cfg.patch_size).reshape(B, -1)
-    fg_pf = _pool_to_patches(per_tubelet, cfg.patch_size).reshape(B, -1)
+    # per-tubelet masks may be at reduced resolution; pool by the scaled
+    # patch size so the grid is still (H/patch, W/patch)
+    per_patch = cfg.patch_size * per_tubelet.shape[-1] // W
+    fg_pf = _pool_to_patches(per_tubelet, per_patch).reshape(B, -1)
     return {
         "videos": videos_out.astype(videos.dtype),
         "fg_mask": fg_mask,

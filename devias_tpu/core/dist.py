@@ -81,3 +81,33 @@ def shard_batch(tree, mesh: Mesh):
     """Place a host-local batch pytree onto the mesh, sharded over data axis."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def tp_param_spec(path, leaf) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for a ViT param leaf:
+    column-parallel QKV/MLP-up (shard the output features), row-parallel
+    attention-proj/MLP-down (shard the input features); XLA inserts the
+    matching all-reduces. Beyond reference parity (the reference is
+    DP-only, SURVEY §2.8) — used when ViT-B is scaled past one chip."""
+    names = tuple(getattr(p, "key", str(p)) for p in path)
+    last = names[-1] if names else ""
+    parent = names[-2] if len(names) > 1 else ""
+    in_mlp = "mlp" in names
+    if last == "qkv_kernel":  # column-parallel fused QKV
+        return P(None, MODEL_AXIS)
+    if in_mlp and parent == "fc1":  # column-parallel MLP up
+        return P(None, MODEL_AXIS) if last == "kernel" else P(MODEL_AXIS)
+    if in_mlp and parent == "fc2" and last == "kernel":  # row-parallel MLP down
+        return P(MODEL_AXIS, None)
+    if parent == "proj" and last == "kernel":  # row-parallel attn output
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place a param tree with tensor-parallel shardings over the model
+    axis (replicated where tp_param_spec returns P())."""
+    def place(path, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, tp_param_spec(path, leaf)))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -163,3 +163,48 @@ def test_orbax_save_and_auto_resume(tmp_path):
     save_checkpoint(d, 5, state2)
     _, step2 = auto_resume(d, template)
     assert step2 == 5
+
+
+def test_torch_export_roundtrip():
+    """export -> import -> identical tree; and the export carries the
+    reference's key names."""
+    from devias_tpu.ckpt.torch_export import export_torch_state_dict
+    from devias_tpu.ckpt import import_torch_state_dict
+
+    model = create_model(
+        "slot_vit_base_patch16_224",
+        num_classes=5, num_scene_classes=4, num_latents=2, agg_depth=3,
+        agg_weights_tie=True, **TINY,
+    )
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    sd = export_torch_state_dict(params, "slot", agg_depth=3)
+    # tied layers replicated at every index, reference-style
+    assert "agg_block.layers.2.0.fn.to_q.weight" in sd
+    np.testing.assert_array_equal(
+        sd["agg_block.layers.0.0.fn.to_q.weight"],
+        sd["agg_block.layers.2.0.fn.to_q.weight"],
+    )
+    assert "blocks.1.attn.q_bias" in sd and "patch_embed.proj.weight" in sd
+    imported = import_torch_state_dict(sd, "slot", depth=2, agg_unique_layers=1)
+    merged, report = merge_params(params, imported)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_torch_export_loads_in_torch(tmp_path):
+    """The .pth must load via torch.load with the reference container."""
+    import torch
+    from devias_tpu.ckpt.torch_export import save_torch_checkpoint
+
+    model = create_model(
+        "vit_base_patch16_224", num_classes=5, **TINY,
+    )
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    p = str(tmp_path / "export.pth")
+    save_torch_checkpoint(p, params, "plain", epoch=7)
+    ckpt = torch.load(p, weights_only=False)
+    assert ckpt["epoch"] == 7
+    assert "head.weight" in ckpt["model"]
+    assert tuple(ckpt["model"]["head.weight"].shape) == (5, 64)
