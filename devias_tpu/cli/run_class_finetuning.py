@@ -160,13 +160,24 @@ def main(args=None):
         if restored is not None:
             state, start_epoch = restored, step + 1
 
-    criterion = (
-        (lambda lg, lb: label_smoothing_cross_entropy(lg, lb, args.smoothing))
-        if args.smoothing > 0
-        else cross_entropy
-    )
+    mixup_cfg = None
+    if args.mixup > 0 or args.cutmix > 0:
+        from devias_tpu.aug.mixup import MixupConfig
+        from devias_tpu.losses import soft_target_cross_entropy
+
+        mixup_cfg = MixupConfig(
+            mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+            prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
+            label_smoothing=args.smoothing, num_classes=args.nb_classes,
+        )
+        criterion = soft_target_cross_entropy
+    elif args.smoothing > 0:
+        criterion = lambda lg, lb: label_smoothing_cross_entropy(lg, lb, args.smoothing)
+    else:
+        criterion = cross_entropy
     base_step = make_classification_train_step(
-        model, tx, criterion=criterion, update_freq=args.update_freq, lr_fn=lr_fn
+        model, tx, criterion=criterion, update_freq=args.update_freq, lr_fn=lr_fn,
+        mixup_cfg=mixup_cfg,
     )
     if teacher_logits_fn is not None:
         # relabel each batch with the teacher argmax before stepping

@@ -241,13 +241,20 @@ def make_classification_train_step(
     update_freq: int = 1,
     lr_fn: Optional[Callable] = None,
     logits_key: str = "logits",
+    mixup_cfg=None,
 ):
     """Plain finetune step (ref engine/engine_for_finetuning.py:18-126):
-    model forward -> criterion(logits, labels) -> AdamW."""
+    [optional mixup/cutmix ->] model forward -> criterion -> AdamW.
+    With mixup enabled the criterion receives soft targets
+    (SoftTargetCrossEntropy path, ref run_slot_finetuning.py:583-589)."""
     U = update_freq
 
     def micro_loss(params, videos, labels, rng):
-        drop_rng, dp_rng = jax.random.split(rng)
+        drop_rng, dp_rng, mix_rng = jax.random.split(rng, 3)
+        if mixup_cfg is not None and mixup_cfg.enabled:
+            from devias_tpu.aug.mixup import mixup_cutmix
+
+            videos, labels = mixup_cutmix(mix_rng, videos, labels, mixup_cfg)
         out = model.apply(
             {"params": params}, videos, deterministic=False,
             rngs={"dropout": drop_rng, "drop_path": dp_rng},
