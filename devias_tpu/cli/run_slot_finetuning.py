@@ -203,6 +203,14 @@ def main(args=None):
             state, start_epoch = restored, step + 1
             print(f"auto-resumed from epoch {step}")
 
+    if args.mask_model == "Segformer":
+        raise NotImplementedError(
+            "--mask_model Segformer needs the pretrained nvidia/segformer-b3 "
+            "human-segmentation weights (a CUDA/torch model in the reference, "
+            "ref run_slot_finetuning.py:423-427); this environment has no "
+            "network egress to fetch them. Use FAME (the published DEVIAS "
+            "recipe) or precompute masks offline."
+        )
     step_cfg = TrainStepConfig(
         update_freq=args.update_freq,
         use_fame=args.mask_model == "FAME",
@@ -216,6 +224,7 @@ def main(args=None):
 
     logger = JsonlLogger(args.output_dir)
     best_acc = -1.0
+    best_scuba = -1.0
     rng = jax.random.PRNGKey(args.seed)
     for epoch in range(start_epoch, args.epochs):
         loader_train.set_epoch(epoch)
@@ -246,6 +255,23 @@ def main(args=None):
             if val["acc1"] > best_acc and args.output_dir and args.save_ckpt and rank == 0:
                 best_acc = val["acc1"]
                 save_checkpoint(os.path.join(args.output_dir, "ckpt_best"), epoch, state)
+        if args.scuba_val:
+            # periodic SCUBA validation with scuba-best tracking
+            # (ref run_slot_finetuning.py:689-703)
+            try:
+                scuba = run_scuba(
+                    lambda variant: _make_scuba_loader(args, variant),
+                    action_logits_fn, args.batch_size,
+                    os.path.join(args.output_dir or ".", f"scuba_val_ep{epoch}"),
+                    num_tasks=world if args.dist_eval else 1, rank=rank,
+                )
+                mean_top1 = float(np.mean([v["acc1"] for v in scuba.values()])) if scuba else 0.0
+                record["scuba_val_top1"] = round(mean_top1, 3)
+                if mean_top1 > best_scuba and args.output_dir and args.save_ckpt and rank == 0:
+                    best_scuba = mean_top1
+                    save_checkpoint(os.path.join(args.output_dir, "ckpt_scuba_best"), epoch, state)
+            except FileNotFoundError as exc:
+                print(f"scuba_val skipped: {exc}")
         if args.output_dir and args.save_ckpt and rank == 0 and (
             (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
         ):
@@ -290,17 +316,9 @@ def run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
             print(f"Scene top-1 {top1:.2f} top-5 {top5:.2f}")
 
     if args.run_scuba:
-        def make_loader(variant):
-            cfg = make_data_config(
-                args, data_set="SCUBA",
-                anno_path=os.path.join("filelist/scuba", _scuba_ds(args), f"{variant}.csv"),
-                test_num_segment=2, test_num_crop=3,  # forced 2x3 (ref run_scuba.py:19)
-            )
-            ds, _ = build_dataset(False, True, cfg)
-            return make_eval_loader(ds, args)
-
-        res = run_scuba(make_loader, action_logits_fn, args.batch_size, out_dir,
-                        num_tasks=ntasks, rank=rank)
+        # forced 2x3 views (ref run_scuba.py:19)
+        res = run_scuba(lambda v: _make_scuba_loader(args, v), action_logits_fn,
+                        args.batch_size, out_dir, num_tasks=ntasks, rank=rank)
         print("SCUBA:", res)
 
     if args.hat_eval:
@@ -350,6 +368,16 @@ def run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
 
 def _scuba_ds(args) -> str:
     return {"Kinetics-400": "k400", "UCF101": "ucf101"}.get(args.data_set, "ucf101")
+
+
+def _make_scuba_loader(args, variant: str):
+    cfg = make_data_config(
+        args, data_set="SCUBA",
+        anno_path=os.path.join("filelist/scuba", _scuba_ds(args), f"{variant}.csv"),
+        test_num_segment=2, test_num_crop=3,
+    )
+    ds, _ = build_dataset(False, True, cfg)
+    return make_eval_loader(ds, args)
 
 
 if __name__ == "__main__":

@@ -99,7 +99,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
 
 def _fwd_call(q, k, v, scale: float, block_q: Optional[int], interpret: bool):
     BH, N, D = q.shape
-    bq = block_q or _pick_block(N)
+    # fwd holds one [bq, N] f32 tile: bq=784 fits VMEM at N=1568 and
+    # measures ~8% faster than 224 (fewer grid steps, better pipelining)
+    bq = block_q or _pick_block(N, preferred=784)
     grid = (BH, N // bq)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
