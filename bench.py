@@ -8,9 +8,11 @@ per-GPU batch size (12 clips, docs/TRAIN.md:20) in bfloat16.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline compares against an A100 estimate for the same step: the
-reference repo publishes no numbers (BASELINE.md), so we use 100
-clips/sec/chip — an upper-band estimate for fp16 DEVIAS training on A100
-(~720 GFLOPs/clip student fwd+bwd + teacher fwd at ~25% MFU).
+reference repo publishes no numbers (BASELINE.md). Derivation of the
+estimate: DEVIAS slot training moves ~1.68 TFLOP/clip (student ViT-B
+fwd+bwd 3 x 0.42 TF + frozen teacher fwd 0.42 TF at 1568 tokens); an
+A100 at 312 TFLOPS bf16/fp16 and a typical 25-30%% MFU for torch video
+ViT training sustains ~78-94 TFLOP/s -> 46-56 clips/s. We use 50.
 """
 
 import json
@@ -24,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 import numpy as np
 
-A100_CLIPS_PER_SEC_ESTIMATE = 100.0
+A100_CLIPS_PER_SEC_ESTIMATE = 50.0
 BATCH = 12  # reference per-GPU batch (docs/TRAIN.md:20)
 
 

@@ -83,7 +83,13 @@ def _ln(sd, name):
 
 
 def _backbone_params(sd: Dict[str, np.ndarray], depth: int) -> Dict[str, Any]:
-    """Translate a VideoMAE-style torch backbone into the VideoViT tree."""
+    """Translate a VideoMAE-style torch backbone into the VideoViT tree.
+    `depth` is capped to the blocks actually present in the checkpoint."""
+    present = [
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.") and k.endswith(".norm1.weight")
+    ]
+    if present:
+        depth = min(depth, max(present) + 1)
     p: Dict[str, Any] = {}
 
     w = sd["patch_embed.proj.weight"]  # [D, C, t, ph, pw]

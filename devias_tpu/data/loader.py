@@ -143,3 +143,31 @@ class DataLoader:
                         break
                 except queue.Empty:
                     break
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Overlap host->device transfer with compute: keep `size` batches
+    in flight on device ahead of the consumer (the reference relies on
+    pinned-memory DataLoader + non_blocking copies for the same purpose,
+    ref engine_for_slot.py:98-99)."""
+    import collections
+
+    import jax
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+                batch,
+            )
+        return jax.tree.map(
+            lambda x: jax.device_put(x) if hasattr(x, "shape") else x, batch
+        )
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
