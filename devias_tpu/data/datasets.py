@@ -58,6 +58,10 @@ class DataConfig:
     sparse_sample: bool = False  # TSN-style (SSv2)
     synthetic: bool = False      # tests/benchmarks: random frames
     synthetic_len: int = 64      # samples when synthetic
+    # False ships uint8 clips and leaves /255 + ImageNet normalization to
+    # the device (models built with input_norm=True) — 4x smaller
+    # host->device transfers, ~30% host-side augmentation savings
+    host_normalize: bool = True
 
 
 class VideoDataset:
@@ -142,6 +146,7 @@ class VideoDataset:
             return T.train_augment(
                 buffer, cfg.input_size, cfg.aa,
                 horizontal_flip=self.hflip, reprob=cfg.reprob, rng=rng,
+                host_normalize=cfg.host_normalize,
             )
 
         if cfg.num_sample > 1:
@@ -170,7 +175,8 @@ class VideoDataset:
             # center clip_len window of the strided buffer
             start = max((buffer.shape[0] - cfg.num_frames) // 2, 0)
             buffer = buffer[start : start + cfg.num_frames]
-        clip = T.val_transform(buffer, cfg.short_side_size, cfg.input_size)
+        clip = T.val_transform(buffer, cfg.short_side_size, cfg.input_size,
+                               host_normalize=cfg.host_normalize)
         out = {
             "videos": clip[: cfg.num_frames] if self.tsn else clip,
             "labels": np.int64(entry.label),
@@ -211,7 +217,10 @@ class VideoDataset:
             buffer = buffer[:, s_start : s_start + ss, :, :]
         else:
             buffer = buffer[:, :, s_start : s_start + ss, :]
-        clip = np.ascontiguousarray(T.normalize_clip(buffer), np.float32)
+        if cfg.host_normalize:
+            clip = np.ascontiguousarray(T.normalize_clip(buffer), np.float32)
+        else:
+            clip = np.ascontiguousarray(buffer, np.uint8)
         out = {
             "videos": clip,
             "labels": np.int64(entry.label),

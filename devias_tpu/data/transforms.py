@@ -338,6 +338,7 @@ def train_augment(
     reprob: float = 0.0,
     rng: Optional[random.Random] = None,
     fast: bool = True,
+    host_normalize: bool = True,
 ) -> np.ndarray:
     """The reference `_aug_frame` chain (ref kinetics.py:239-298).
 
@@ -348,6 +349,13 @@ def train_augment(
     reference order on the PIL path."""
     rng = rng or random
     clip = rand_augment_clip(clip, policy, rng, fast=fast)
+    if not host_normalize and reprob == 0:
+        # uint8 device-normalize path: ship raw bytes, the model (or step)
+        # applies /255 + ImageNet affine on the VPU (4x smaller transfers)
+        clip = random_resized_crop_clip(clip, crop_size, rng=rng)
+        if horizontal_flip:
+            clip = horizontal_flip_clip(clip, 0.5, rng)
+        return np.ascontiguousarray(clip, np.uint8)
     if fast:
         clip = random_resized_crop_clip(clip, crop_size, rng=rng)
         clip = normalize_clip(clip)
@@ -361,9 +369,12 @@ def train_augment(
     return np.ascontiguousarray(clip, np.float32)
 
 
-def val_transform(clip: np.ndarray, short_side: int = 224, crop_size: int = 224) -> np.ndarray:
+def val_transform(clip: np.ndarray, short_side: int = 224, crop_size: int = 224,
+                  host_normalize: bool = True) -> np.ndarray:
     clip = resize_clip_short_side(clip, short_side)
     clip = center_crop_clip(clip, crop_size)
+    if not host_normalize:
+        return np.ascontiguousarray(clip, np.uint8)
     return np.ascontiguousarray(normalize_clip(clip), np.float32)
 
 

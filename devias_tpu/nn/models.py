@@ -96,6 +96,7 @@ class SlotViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     fused_interpret: bool = False
+    input_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -116,6 +117,7 @@ class SlotViT(nn.Module):
             remat=self.remat,
             fused_attention=self.fused_attention,
             fused_interpret=self.fused_interpret,
+            input_norm=self.input_norm,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)
@@ -204,6 +206,7 @@ class PlainViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     fused_interpret: bool = False
+    input_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -226,6 +229,7 @@ class PlainViT(nn.Module):
             remat=self.remat,
             fused_attention=self.fused_attention,
             fused_interpret=self.fused_interpret,
+            input_norm=self.input_norm,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)
@@ -271,6 +275,7 @@ class MultiTaskViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     fused_interpret: bool = False
+    input_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -293,6 +298,7 @@ class MultiTaskViT(nn.Module):
             remat=self.remat,
             fused_attention=self.fused_attention,
             fused_interpret=self.fused_interpret,
+            input_norm=self.input_norm,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)
@@ -363,6 +369,7 @@ class SlotFusionViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     fused_interpret: bool = False
+    input_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -383,6 +390,7 @@ class SlotFusionViT(nn.Module):
             remat=self.remat,
             fused_attention=self.fused_attention,
             fused_interpret=self.fused_interpret,
+            input_norm=self.input_norm,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)

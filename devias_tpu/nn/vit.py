@@ -264,10 +264,22 @@ class VideoViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     fused_interpret: bool = False
+    # input_norm=True moves ImageNet normalization onto the device: the
+    # pipeline ships uint8 (or [0,1] float) clips — 4x smaller host->device
+    # transfers and no host-side float pass; the affine fuses into the
+    # patch-embed matmul under XLA. Mathematically identical to host
+    # normalization (ref kinetics.py:262-264).
+    input_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.input_norm:
+            if x.dtype == jnp.uint8:
+                x = x.astype(self.dtype) / 255.0
+            mean = jnp.asarray([0.485, 0.456, 0.406], self.dtype)
+            std = jnp.asarray([0.229, 0.224, 0.225], self.dtype)
+            x = (x - mean) / std
         x = PatchEmbed3D(
             embed_dim=self.embed_dim,
             patch_size=self.patch_size,

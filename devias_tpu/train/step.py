@@ -36,6 +36,10 @@ class TrainStepConfig:
     use_fame: bool = True
     fame: FAMEConfig = FAMEConfig()
     num_data_shards: int = 1  # shard-local FAME permutation blocks
+    # True: batches arrive as uint8, the step converts to [0,1] and FAME
+    # consumes unit-range directly (no denorm round trip); the MODEL must
+    # be built with input_norm=True. Identical math to host normalization.
+    device_normalize: bool = False
 
 
 def _global_norm(tree) -> jnp.ndarray:
@@ -44,18 +48,23 @@ def _global_norm(tree) -> jnp.ndarray:
     )
 
 
-def _shard_local_fame(rng, videos, labels, fame_cfg: FAMEConfig, n_shards: int):
+def _shard_local_fame(rng, videos, labels, fame_cfg: FAMEConfig, n_shards: int,
+                      mean=None, std=None):
     """Run FAME independently per data shard so the donor gather stays
     device-local. videos: [B, ...] with B divisible by n_shards."""
+    from devias_tpu.aug.fame import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = IMAGENET_MEAN if mean is None else mean
+    std = IMAGENET_STD if std is None else std
     B = videos.shape[0]
     if n_shards <= 1 or B % n_shards != 0:
-        return fame_augment(rng, videos, labels, fame_cfg)
+        return fame_augment(rng, videos, labels, fame_cfg, mean, std)
     local = B // n_shards
     v = videos.reshape(n_shards, local, *videos.shape[1:])
     l = labels.reshape(n_shards, local, *labels.shape[1:])
     keys = jax.random.split(rng, n_shards)
     v2, l2, (fg, fgpf) = jax.vmap(
-        lambda k, vv, ll: fame_augment(k, vv, ll, fame_cfg)
+        lambda k, vv, ll: fame_augment(k, vv, ll, fame_cfg, mean, std)
     )(keys, v, l)
     return (
         v2.reshape(videos.shape),
@@ -82,10 +91,23 @@ def make_slot_train_step(
 
     def micro_loss(params, teacher_params, videos, labels, rng):
         fame_rng, drop_rng, dp_rng = jax.random.split(rng, 3)
+        if step_cfg.device_normalize:
+            videos = videos.astype(jnp.float32) / 255.0
         if step_cfg.use_fame:
-            videos, labels, (fg_mask, fg_pf) = _shard_local_fame(
-                fame_rng, videos, labels, step_cfg.fame, step_cfg.num_data_shards
+            fame_stats = (
+                ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))  # inputs already in [0,1]
+                if step_cfg.device_normalize
+                else None
             )
+            if fame_stats is not None:
+                videos, labels, (fg_mask, fg_pf) = _shard_local_fame(
+                    fame_rng, videos, labels, step_cfg.fame,
+                    step_cfg.num_data_shards, mean=fame_stats[0], std=fame_stats[1],
+                )
+            else:
+                videos, labels, (fg_mask, fg_pf) = _shard_local_fame(
+                    fame_rng, videos, labels, step_cfg.fame, step_cfg.num_data_shards
+                )
         else:
             B = videos.shape[0]
             T = videos.shape[1]
