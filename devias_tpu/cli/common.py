@@ -115,6 +115,9 @@ def build_shared_parser(description: str) -> argparse.ArgumentParser:
                    help="devias_tpu extension: cap steps/epoch (smoke runs)")
     p.add_argument("--smoke_tiny", action="store_true", default=False,
                    help="devias_tpu extension: 2-layer 64-dim model for smoke tests")
+    p.add_argument("--device_normalize", action="store_true", default=False,
+                   help="devias_tpu extension: ship uint8 clips, normalize on "
+                        "device (4x smaller transfers; requires reprob=0)")
     return p
 
 
@@ -209,6 +212,7 @@ def make_data_config(args, **overrides) -> DataConfig:
         num_sample=args.num_sample,
         nb_classes=args.nb_classes,
         synthetic=getattr(args, "synthetic_data", False),
+        host_normalize=not getattr(args, "device_normalize", False),
     )
     kw.update(overrides)
     return DataConfig(**kw)

@@ -71,6 +71,7 @@ def main(args=None):
         init_scale=args.init_scale,
         use_mean_pooling=not args.use_cls,
         remat=args.use_checkpoint,
+        input_norm=args.device_normalize,
         dtype=jnp.bfloat16,
         **tiny_overrides(args),
     )

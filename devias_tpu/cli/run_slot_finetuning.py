@@ -98,6 +98,7 @@ def build_models(args, dtype=jnp.bfloat16):
         agg_weights_tie=args.agg_weights_tie,
         agg_depth=args.agg_depth,
         remat=args.use_checkpoint,
+        input_norm=args.device_normalize,
         dtype=dtype,
     )
     # frozen Places-365 scene teacher: CLS-token variant
@@ -107,6 +108,7 @@ def build_models(args, dtype=jnp.bfloat16):
         num_classes=365,
         tubelet_size=args.tubelet_size,
         use_mean_pooling=False,
+        input_norm=args.device_normalize,
         dtype=dtype,
         **tiny,
     )
@@ -216,6 +218,7 @@ def main(args=None):
         use_fame=args.mask_model == "FAME",
         fame=FAMEConfig(beta=args.beta, prob_aug=args.prob_aug),
         num_data_shards=mesh.shape["data"],
+        device_normalize=args.device_normalize,
     )
     train_step = jax.jit(
         make_slot_train_step(model, teacher, tx, loss_cfg, step_cfg, lr_fn),

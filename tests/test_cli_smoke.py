@@ -116,3 +116,15 @@ def test_run_slot_downstream(filelists, tmp_path):
     ])
     main(args)
     assert os.path.exists(tmp_path / "log.txt")
+
+
+def test_run_slot_finetuning_knn(filelists, tmp_path):
+    from devias_tpu.cli.run_slot_finetuning import get_args, main
+
+    # the kNN probe tries HMDB51/UCF101/Diving-48; give it one (UCF101)
+    args = get_args(BASE + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--num_latents", "2", "--agg_depth", "2",
+        "--run_knn", "--nb_knn", "3", "--output_dir", str(tmp_path),
+    ])
+    main(args)  # prints the 4-way cross matrix; must not raise
