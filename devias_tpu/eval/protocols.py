@@ -103,6 +103,12 @@ def final_test(
         ids, np.concatenate(all_logits, axis=0) if all_logits else np.zeros((0, 1)),
         labels, chunks, splits, header=f"{acc1}, {acc5}",
     )
+    if jax.process_count() > 1:
+        # all hosts must have written their result files before rank 0
+        # merges (the reference's dist.barrier, ref run_slot_finetuning.py:621)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("final_test_files")
     return {"acc1": acc1, "acc5": acc5}
 
 

@@ -34,30 +34,66 @@ Dtype = Any
 TORCH_LN_EPS = 1e-5
 
 
+class _Kernel(nn.Module):
+    """Param holder producing the same tree path as nn.Dense
+    ('<name>/kernel' [+ '/bias']) so fused and unfused paths share
+    checkpoints."""
+
+    shape: tuple
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc02, self.shape, jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32)
+            return k, b
+        return k
+
+
 class SlotCrossAttention(nn.Module):
     """Cross-attention with inverted (slot-axis) softmax + key renorm
     (ref: agg_block/attention.py:85-141). heads=4, dim_head=512 as set at
-    agg_block/agg_block.py:83."""
+    agg_block/agg_block.py:83.
+
+    fused=True routes through the Pallas fused kernel
+    (devias_tpu.kernels.slot_attention): projections + slot softmax +
+    renorm + output projection in one context pass. Same math, same params."""
 
     heads: int = 4
     dim_head: int = 512
     dropout: float = 0.0
+    fused: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, deterministic: bool = True):
-        B, S, _ = x.shape
+    def __call__(self, x, context, deterministic: bool = True, k_pos=None):
+        B, S, D = x.shape
         N = context.shape[1]
         inner = self.heads * self.dim_head
         scale = self.dim_head**-0.5
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, kernel_init=trunc02, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, kernel_init=trunc02, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, kernel_init=trunc02, name="to_v")(context)
+        wq = _Kernel((D, inner), name="to_q")()
+        wk = _Kernel((context.shape[-1], inner), name="to_k")()
+        wv = _Kernel((context.shape[-1], inner), name="to_v")()
+        wo, bo = _Kernel((inner, D), use_bias=True, name="to_out")()
+        wq, wk, wv, wo, bo = (w.astype(self.dtype) for w in (wq, wk, wv, wo, bo))
 
-        q = q.reshape(B, S, self.heads, self.dim_head)
-        k = k.reshape(B, N, self.heads, self.dim_head)
-        v = v.reshape(B, N, self.heads, self.dim_head)
+        if self.fused and self.dropout == 0.0 and k_pos is None:
+            from devias_tpu.kernels.slot_attention import fused_slot_attention
+
+            out, sim_distill = fused_slot_attention(
+                x, context, wq, wk, wv, wo, bo,
+                self.heads, self.dim_head, None, self.fused_interpret,
+            )
+            return out, sim_distill
+
+        q = (x @ wq).reshape(B, S, self.heads, self.dim_head)
+        # positional encoding is added to KEYS only (ref attention.py:123-126)
+        k_in = context if k_pos is None else context + k_pos.astype(context.dtype)
+        k = (k_in @ wk).reshape(B, N, self.heads, self.dim_head)
+        v = (context @ wv).reshape(B, N, self.heads, self.dim_head)
 
         sim = jnp.einsum("bshd,bnhd->bhsn", q, k) * scale
         # slot-attention competition: softmax over the slot axis S
@@ -68,7 +104,7 @@ class SlotCrossAttention(nn.Module):
         attn = attn.astype(self.dtype)
 
         out = jnp.einsum("bhsn,bnhd->bshd", attn, v).reshape(B, S, inner)
-        out = nn.Dense(x.shape[-1], dtype=self.dtype, kernel_init=trunc02, name="to_out")(out)
+        out = out @ wo + bo
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out, sim_distill
 
@@ -85,6 +121,8 @@ class _AggLayer(nn.Module):
     ff_mult: int = 4
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    fused: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -96,6 +134,8 @@ class _AggLayer(nn.Module):
             heads=self.heads,
             dim_head=self.dim_head,
             dropout=self.attn_dropout,
+            fused=self.fused,
+            fused_interpret=self.fused_interpret,
             dtype=self.dtype,
             name="cross_attn",
         )
@@ -108,9 +148,9 @@ class _AggLayer(nn.Module):
         )
         self.ff_drop = nn.Dropout(self.ff_dropout)
 
-    def __call__(self, x, normed_context, deterministic: bool = True):
+    def __call__(self, x, normed_context, deterministic: bool = True, k_pos=None):
         attn_out, sim = self.cross_attn(
-            self.norm_q(x), normed_context, deterministic=deterministic
+            self.norm_q(x), normed_context, deterministic=deterministic, k_pos=k_pos
         )
         x = attn_out + x
         y = self.norm_ff(x)
@@ -143,6 +183,9 @@ class AggregationBlock(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     last_ln: bool = True
+    pos_enc_type: str = "none"  # 'none' (all published configs) | 'sine1d' | 'sine2d'
+    fused: bool = False
+    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -166,6 +209,8 @@ class AggregationBlock(nn.Module):
                 ff_mult=self.ff_mult,
                 attn_dropout=self.attn_dropout,
                 ff_dropout=self.ff_dropout,
+                fused=self.fused,
+                fused_interpret=self.fused_interpret,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )
@@ -174,10 +219,18 @@ class AggregationBlock(nn.Module):
         # context is static across rounds: normalize once per unique layer
         normed_ctx = [layer.norm_ctx(context) for layer in layers]
 
+        k_pos = None
+        if self.pos_enc_type not in ("none", "", None):
+            from devias_tpu.nn.pos_encoding import build_position_encoding
+
+            k_pos = build_position_encoding(
+                self.pos_enc_type, context.shape[1], context.shape[-1]
+            )
+
         sim = None
         for i in range(self.depth):
             j = 0 if self.weight_tie else i
-            x, sim = layers[j](x, normed_ctx[j], deterministic=deterministic)
+            x, sim = layers[j](x, normed_ctx[j], deterministic=deterministic, k_pos=k_pos)
 
         if self.last_ln:
             x = nn.LayerNorm(

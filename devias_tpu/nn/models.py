@@ -127,6 +127,8 @@ class SlotViT(nn.Module):
             latent_dim=self.embed_dim,
             depth=self.agg_depth,
             weight_tie=self.agg_weights_tie,
+            fused=self.fused_attention,
+            fused_interpret=self.fused_interpret,
             dtype=self.dtype,
             name="agg_block",
         )(tokens, deterministic=deterministic)
@@ -414,6 +416,8 @@ class SlotFusionViT(nn.Module):
             latent_dim=self.embed_dim,
             depth=self.agg_depth,
             weight_tie=self.agg_weights_tie,
+            fused=self.fused_attention,
+            fused_interpret=self.fused_interpret,
             dtype=self.dtype,
             name="agg_block",
         )(tokens, deterministic=deterministic)

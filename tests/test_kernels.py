@@ -102,3 +102,69 @@ def test_fused_attention_grad_in_model():
     g_fused = jax.grad(lambda p: loss(fused, p))(vs["params"])
     for a, b in zip(jax.tree.leaves(g_pure), jax.tree.leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def test_fused_slot_attention_matches_reference():
+    from devias_tpu.kernels.slot_attention import (
+        fused_slot_attention,
+        slot_attention_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    B, S, N, D, heads, dh = 2, 2, 96, 32, 4, 16
+    x = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    wq = jnp.asarray(rng.normal(size=(D, heads * dh)) * 0.05, jnp.float32)
+    wk = jnp.asarray(rng.normal(size=(D, heads * dh)) * 0.05, jnp.float32)
+    wv = jnp.asarray(rng.normal(size=(D, heads * dh)) * 0.05, jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(heads * dh, D)) * 0.05, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(D,)) * 0.05, jnp.float32)
+
+    out_f, sim_f = fused_slot_attention(x, ctx, wq, wk, wv, wo, bo, heads, dh, 32, True)
+    out_r, sim_r = slot_attention_reference(x, ctx, wq, wk, wv, wo, bo, heads, dh)
+    np.testing.assert_allclose(np.asarray(sim_f), np.asarray(sim_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=1e-4, atol=1e-5)
+
+    # grads flow through the XLA-replay backward
+    def loss_fused(x, wq):
+        o, s = fused_slot_attention(x, ctx, wq, wk, wv, wo, bo, heads, dh, 32, True)
+        return (o**2).sum() + (s**2).sum()
+
+    def loss_ref(x, wq):
+        o, s = slot_attention_reference(x, ctx, wq, wk, wv, wo, bo, heads, dh)
+        return (o**2).sum() + (s**2).sum()
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(x, wq)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(x, wq)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_slot_model_fused_agg_matches_pure():
+    from devias_tpu.nn import create_model
+
+    kw = dict(
+        num_classes=5, num_scene_classes=4, num_latents=2, agg_depth=2,
+        depth=2, embed_dim=64, num_heads=4,
+    )
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 4, 32, 32, 3)), jnp.float32)
+    pure = create_model("slot_vit_base_patch16_224", **kw)
+    fused = create_model(
+        "slot_vit_base_patch16_224", fused_attention=True, fused_interpret=True, **kw
+    )
+    vs = pure.init({"params": jax.random.PRNGKey(0)}, x)
+    # identical param trees (checkpoint compatibility between modes)
+    vs_fused = fused.init({"params": jax.random.PRNGKey(0)}, x)
+    t1 = jax.tree_util.tree_structure(vs)
+    t2 = jax.tree_util.tree_structure(vs_fused)
+    assert t1 == t2
+    out_pure = pure.apply(vs, x)
+    out_fused = fused.apply(vs, x)
+    np.testing.assert_allclose(
+        np.asarray(out_fused["slots_head"]), np.asarray(out_pure["slots_head"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fused["attn"]), np.asarray(out_pure["attn"]),
+        rtol=1e-4, atol=1e-5,
+    )
