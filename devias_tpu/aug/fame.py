@@ -162,6 +162,24 @@ def _top_fraction_threshold(x: jnp.ndarray, frac: float, iters: int = 16) -> jnp
     return lo
 
 
+def _bottom_fraction_threshold(x: jnp.ndarray, frac: float, iters: int = 16) -> jnp.ndarray:
+    """Per-sample threshold t with |{x <= t}| ~= frac * N (bottom-k analog,
+    never under-selecting). NOT the complement of a top threshold: with a
+    heavy tie mass (e.g. zero saliency over a static background, the common
+    video case) `x < t_top(1-frac)` selects nothing while the reference's
+    bottom-k still picks the background pixels."""
+    B = x.shape[0]
+    lo = jnp.zeros((B, 1), x.dtype)
+    hi = jnp.ones((B, 1), x.dtype)
+    for _ in range(iters):
+        mid = (lo + hi) * 0.5
+        le = (x <= mid).mean(axis=-1, keepdims=True)
+        take_mid = le >= frac
+        hi = jnp.where(take_mid, mid, hi)
+        lo = jnp.where(take_mid, lo, mid)
+    return hi
+
+
 def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEConfig):
     """Color-histogram refinement + top-beta binarization (ref fame.py:43-85).
     mask: [B, H, W] saliency in [0,1]; mean_frame: [B, H, W, 3]."""
@@ -184,9 +202,9 @@ def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEC
         # weighted histograms over threshold-selected pixels (same pixels as
         # the exact top-k up to value ties at the quantile cut)
         t_fg = _top_fraction_threshold(flat, 0.5)
-        t_bg = _top_fraction_threshold(flat, 0.9)  # bottom 10% = not top 90%
+        t_bg = _bottom_fraction_threshold(flat, 0.1)
         w_fg = (flat >= t_fg).astype(jnp.float32)
-        w_bg = (flat < t_bg).astype(jnp.float32)
+        w_bg = (flat <= t_bg).astype(jnp.float32)
         whist = jax.vmap(lambda c, w: jnp.bincount(c, weights=w, length=n_bins))
         dict_fg = whist(cmap, w_fg)
         dict_bg = whist(cmap, w_bg) + 1.0
