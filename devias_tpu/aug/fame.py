@@ -54,8 +54,10 @@ class FAMEConfig:
     patch_size: int = 16  # pooling for the patch-grid masks
     # exact_topk=True reproduces the reference's exact top-k pixel selection
     # (full sorts); False selects by bisection thresholds (never
-    # under-selects; only tie-adjacent pixels move).
-    exact_topk: bool = False
+    # under-selects; only tie-adjacent pixels move). With the low-res
+    # tubelet masks both paths measure ~34-35 ms at batch 12 on v5e, so the
+    # exact reference semantics are the default.
+    exact_topk: bool = True
     # Per-tubelet masks are only consumed pooled to the 14x14 patch grid
     # (ref fame.py:146-148), yet the reference computes them at 224x224 —
     # where TPU-hostile small-table gathers/scatters in the color histogram

@@ -148,7 +148,10 @@ def run_train_loop(
     from devias_tpu.ckpt import save_checkpoint
     from devias_tpu.train import place_data_parallel
 
+    from devias_tpu.utils import TensorLogger
+
     logger = logger or JsonlLogger(args.output_dir)
+    tb = TensorLogger(args.log_dir or (os.path.join(args.output_dir, "tb") if args.output_dir else None))
     rank = jax.process_index()
     best_acc = -1.0
     rng = jax.random.PRNGKey(args.seed)
@@ -185,6 +188,12 @@ def run_train_loop(
         ):
             save_checkpoint(os.path.join(args.output_dir, "ckpt"), epoch, state)
         logger.write(record)
+        # TB scalars under loss/opt/perf heads (ref utils/utils.py:167-188)
+        tb.update(head="train", step=epoch,
+                  **{k[6:]: v for k, v in record.items() if k.startswith("train_")})
+        tb.update(head="val", step=epoch,
+                  **{k[4:]: v for k, v in record.items() if k.startswith("val_")})
+        tb.flush()
         print(record)
     return state, best_acc
 
