@@ -199,7 +199,14 @@ def main(args=None):
                               ema_decay=args.model_ema_decay)
 
     start_epoch = args.start_epoch
-    if args.auto_resume and args.output_dir:
+    if args.resume:
+        # explicit checkpoint dir (ref --resume, run_slot_finetuning.py:198)
+        restored, step = auto_resume(args.resume, state)
+        if restored is None:
+            raise FileNotFoundError(f"--resume {args.resume}: no checkpoint found")
+        state, start_epoch = restored, step + 1
+        print(f"resumed from {args.resume} epoch {step}")
+    elif args.auto_resume and args.output_dir:
         restored, step = auto_resume(os.path.join(args.output_dir, "ckpt"), state)
         if restored is not None:
             state, start_epoch = restored, step + 1
