@@ -34,7 +34,7 @@ Layout: channels-last [B, T, H, W, C] (TPU-native), vs the reference NCTHW.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

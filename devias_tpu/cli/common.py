@@ -7,7 +7,6 @@ lines of this per script; factored once here, SURVEY §2.4).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time
@@ -17,8 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from devias_tpu.data import DataConfig, DataLoader, build_dataset
-from devias_tpu.train import OptimConfig, make_optimizer
+from devias_tpu.data import DataConfig, DataLoader
+from devias_tpu.train import OptimConfig
 
 
 def build_shared_parser(description: str) -> argparse.ArgumentParser:

@@ -19,7 +19,6 @@ import numpy as np
 
 from devias_tpu.ckpt import auto_resume
 from devias_tpu.cli.common import (
-    JsonlLogger,
     build_shared_parser,
     finetune_surgery,
     make_data_config,

@@ -28,7 +28,7 @@ from devias_tpu.data import build_dataset
 from devias_tpu.eval import final_test, merge_results, validation_one_epoch
 from devias_tpu.losses import multi_task_loss, cross_entropy, label_smoothing_cross_entropy
 from devias_tpu.nn import create_model
-from devias_tpu.train import TrainState, TrainStepConfig, make_optimizer
+from devias_tpu.train import TrainState, make_optimizer
 from devias_tpu.train.step import _global_norm
 
 

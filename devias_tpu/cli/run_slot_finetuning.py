@@ -31,7 +31,7 @@ from devias_tpu.cli.common import (
     tiny_overrides,
 )
 from devias_tpu.core.dist import make_mesh
-from devias_tpu.data import DataConfig, DataLoader, build_dataset
+from devias_tpu.data import build_dataset
 from devias_tpu.eval import final_test, hat_eval, merge_results, run_scuba, validation_one_epoch
 from devias_tpu.losses import SlotLossConfig
 from devias_tpu.nn import create_model

@@ -19,9 +19,6 @@ PIL-semantics notes (validated against PIL in tests):
 
 from __future__ import annotations
 
-import random
-from typing import Optional
-
 import numpy as np
 
 try:

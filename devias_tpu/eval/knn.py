@@ -9,7 +9,7 @@ k in {10, 20}, T=0.07.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import numpy as np

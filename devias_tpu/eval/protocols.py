@@ -12,7 +12,6 @@ reference: per-host result files + host-0 merge.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Callable, Dict, List, Optional, Sequence
@@ -20,12 +19,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import jax
 import numpy as np
 
-from devias_tpu.eval.merge import (
-    accuracy_topk,
-    merge_results,
-    softmax_np,
-    write_result_file,
-)
+from devias_tpu.eval.merge import merge_results, write_result_file
 
 
 def _pad_batch(videos: np.ndarray, batch_size: int):

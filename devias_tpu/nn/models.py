@@ -14,7 +14,7 @@ vectorized argmax/take (no per-sample python), unlike the reference's
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
