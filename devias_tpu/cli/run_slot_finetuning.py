@@ -181,9 +181,9 @@ def main(args=None):
     # ---- training --------------------------------------------------------
     cfg_train = make_data_config(args)
     ds_train, nb_classes = build_dataset(True, False, cfg_train)
-    assert nb_classes == args.nb_classes or args.nb_classes != 400, (
-        f"dataset classes {nb_classes} != --nb_classes {args.nb_classes}"
-    )
+    if isinstance(nb_classes, int) and nb_classes != args.nb_classes:
+        print(f"WARNING: dataset reports {nb_classes} classes but "
+              f"--nb_classes is {args.nb_classes}; using --nb_classes")
     loader_train = make_train_loader(ds_train, args)
     ds_val, _ = build_dataset(False, False, cfg_train)
     loader_val = make_eval_loader(ds_val, args)
