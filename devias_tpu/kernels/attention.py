@@ -56,8 +56,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     )
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *, scale: float):
     iq = pl.program_id(1)
+    nq = pl.num_programs(1)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -88,13 +90,20 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [n, d]
 
+    # accumulate in VMEM scratch (one HBM write at the end instead of a
+    # read-modify-write of the [N, D] f32 outputs on every q-step)
     @pl.when(iq == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    dk_ref[0] += dk_contrib.astype(dk_ref.dtype)
-    dv_ref[0] += dv_contrib.astype(dv_ref.dtype)
+    dk_acc[...] += dk_contrib
+    dv_acc[...] += dv_contrib
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _fwd_call(q, k, v, scale: float, block_q: Optional[int], interpret: bool):
@@ -143,6 +152,10 @@ def _bwd_call(q, k, v, do, scale: float, block_q: Optional[int], interpret: bool
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k.shape, jnp.float32),
             jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, D), jnp.float32),
+            pltpu.VMEM((N, D), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
