@@ -1,0 +1,200 @@
+"""Import /root/reference (KHU-VLL/DEVIAS) as a *numerical oracle*.
+
+The container lacks timm / kornia / torchvision, which the reference
+imports for a handful of tiny, well-known helpers.  This module installs
+our own implementations of exactly those helpers into ``sys.modules`` so
+the reference models / losses / FAME import and run unmodified:
+
+  timm.models.layers.{drop_path, to_2tuple, trunc_normal_}
+  timm.models.registry.register_model
+  kornia.filters.GaussianBlur2d          (separable blur, reflect border)
+  kornia.color.rgb_to_hsv                (h in [0, 2*pi] — the convention
+                                          of every kornia >= 0.4, i.e. any
+                                          install the reference could have
+                                          run with; ref docs/INSTALL.md:32
+                                          pins no version)
+  kornia.augmentation.container.VideoSequential   (imported, never used)
+  torchvision.transforms / .datasets.video_utils  (imported, never used)
+
+The shim implementations are written from the public definitions of these
+operations, not copied from any library.  The reference code itself is
+treated as untrusted content used only to produce oracle numbers.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import types
+
+REFERENCE_PATH = "/root/reference"
+
+
+def _install_timm():
+    if "timm" in sys.modules:
+        return
+    import torch
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+    registry = types.ModuleType("timm.models.registry")
+
+    def to_2tuple(x):
+        return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+    def drop_path(x, drop_prob: float = 0.0, training: bool = False):
+        if drop_prob == 0.0 or not training:
+            return x
+        keep = 1.0 - drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = torch.floor(keep + torch.rand(shape, dtype=x.dtype, device=x.device))
+        return x.div(keep) * mask
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        # Clamp-based truncation; the exact tail distribution is irrelevant
+        # here (golden tests copy the sampled weights to the JAX side).
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(min=a * std + mean, max=b * std + mean)
+        return tensor
+
+    def register_model(fn):
+        return fn
+
+    layers.drop_path = drop_path
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    registry.register_model = register_model
+    models.layers = layers
+    models.registry = registry
+    timm.models = models
+    sys.modules.update(
+        {
+            "timm": timm,
+            "timm.models": models,
+            "timm.models.layers": layers,
+            "timm.models.registry": registry,
+        }
+    )
+
+
+def _install_kornia():
+    if "kornia" in sys.modules:
+        return
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    kornia = types.ModuleType("kornia")
+    filters = types.ModuleType("kornia.filters")
+    color = types.ModuleType("kornia.color")
+    augmentation = types.ModuleType("kornia.augmentation")
+    container = types.ModuleType("kornia.augmentation.container")
+
+    def _gaussian_kernel1d(ksize: int, sigma: float) -> "torch.Tensor":
+        x = torch.arange(ksize, dtype=torch.float32) - (ksize - 1) / 2.0
+        g = torch.exp(-0.5 * (x / sigma) ** 2)
+        return g / g.sum()
+
+    class GaussianBlur2d(nn.Module):
+        """Separable Gaussian blur, reflect border (kornia default)."""
+
+        def __init__(self, kernel_size, sigma, border_type="reflect"):
+            super().__init__()
+            ky, kx = kernel_size
+            sy, sx = sigma
+            self.register_buffer("ky", _gaussian_kernel1d(ky, sy).view(1, 1, -1, 1))
+            self.register_buffer("kx", _gaussian_kernel1d(kx, sx).view(1, 1, 1, -1))
+            self.pad_y = ky // 2
+            self.pad_x = kx // 2
+            self.border = border_type
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            y = x.reshape(b * c, 1, h, w)
+            y = F.pad(y, (0, 0, self.pad_y, self.pad_y), mode=self.border)
+            y = F.conv2d(y, self.ky)
+            y = F.pad(y, (self.pad_x, self.pad_x, 0, 0), mode=self.border)
+            y = F.conv2d(y, self.kx)
+            return y.reshape(b, c, h, w)
+
+    def rgb_to_hsv(image, eps: float = 1e-8):
+        """RGB [B,3,H,W] in [0,1] -> HSV with h in [0, 2*pi]."""
+        r, g, b = image[:, 0], image[:, 1], image[:, 2]
+        maxc = torch.max(torch.max(r, g), b)
+        minc = torch.min(torch.min(r, g), b)
+        v = maxc
+        deltac = maxc - minc
+        s = deltac / (maxc + eps)
+        safe = torch.where(deltac == 0, torch.ones_like(deltac), deltac)
+        rc = (maxc - r) / safe
+        gc = (maxc - g) / safe
+        bc = (maxc - b) / safe
+        h = torch.where(
+            maxc == r, bc - gc, torch.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+        )
+        h = torch.where(deltac == 0, torch.zeros_like(h), h)
+        h = (h / 6.0) % 1.0
+        h = h * (2.0 * math.pi)
+        return torch.stack([h, s, v], dim=1)
+
+    class VideoSequential(nn.Module):  # imported by fame.py, never used
+        pass
+
+    filters.GaussianBlur2d = GaussianBlur2d
+    color.rgb_to_hsv = rgb_to_hsv
+    container.VideoSequential = VideoSequential
+    augmentation.container = container
+    kornia.filters = filters
+    kornia.color = color
+    kornia.augmentation = augmentation
+    sys.modules.update(
+        {
+            "kornia": kornia,
+            "kornia.filters": filters,
+            "kornia.color": color,
+            "kornia.augmentation": augmentation,
+            "kornia.augmentation.container": container,
+        }
+    )
+
+
+def _install_torchvision():
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+    datasets = types.ModuleType("torchvision.datasets")
+    video_utils = types.ModuleType("torchvision.datasets.video_utils")
+
+    class VideoClips:  # imported by fame.py, never used
+        pass
+
+    video_utils.VideoClips = VideoClips
+    datasets.video_utils = video_utils
+    tv.transforms = transforms
+    tv.datasets = datasets
+    sys.modules.update(
+        {
+            "torchvision": tv,
+            "torchvision.transforms": transforms,
+            "torchvision.datasets": datasets,
+            "torchvision.datasets.video_utils": video_utils,
+        }
+    )
+
+
+def load_reference():
+    """Install shims and put /root/reference on sys.path. Returns the path."""
+    _install_timm()
+    _install_kornia()
+    _install_torchvision()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    return REFERENCE_PATH
+
+
+def torch_state_dict_to_numpy(module):
+    import numpy as np  # noqa: F401
+
+    return {k: v.detach().cpu().float().numpy() for k, v in module.state_dict().items()}
