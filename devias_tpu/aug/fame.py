@@ -59,13 +59,14 @@ class FAMEConfig:
     # exact reference semantics are the default.
     exact_topk: bool = True
     # Per-tubelet masks are only consumed pooled to the 14x14 patch grid
-    # (ref fame.py:146-148), yet the reference computes them at 224x224 —
-    # where TPU-hostile small-table gathers/scatters in the color histogram
-    # dominate the whole step. Downsampling the per-tubelet getSeg by this
-    # factor cuts that work ~16x with near-identical pooled targets.
-    # 1 = full reference resolution. The clip-level mixing mask always
-    # stays full resolution.
-    tubelet_mask_downsample: int = 4
+    # (ref fame.py:146-148). 1 = full reference resolution (default; matches
+    # the reference oracle to <0.005 pooled max-delta, tests/test_fame_oracle.py).
+    # 4 = fast mode: getSeg at 1/4 resolution with a rescaled blur kernel —
+    # ~16x less histogram gather/scatter work, but the pooled distill
+    # targets shift (measured mean |delta| ~0.07, max ~1.0 on boundary
+    # cells), so it is an opt-in approximation, not the training default.
+    # The clip-level mixing mask always stays full resolution.
+    tubelet_mask_downsample: int = 1
 
     @property
     def gauss_size(self) -> int:
@@ -133,11 +134,19 @@ def _color_map(frame: jnp.ndarray) -> jnp.ndarray:
     (ref fame.py:52-63). frame: [B, H, W, 3], clipped to [0,1] (real video
     denormalizes into range; the clip only guards synthetic/augmented
     inputs from producing out-of-range bins). Returns int32 [B, H*W] bin
-    ids in [0, 1000]."""
+    ids in [0, 1000].
+
+    Hue convention: kornia's rgb_to_hsv returns h in RADIANS [0, 2*pi]
+    (every kornia >= 0.4), and the reference then multiplies by 2*pi again
+    (ref fame.py:57-58) — so the effective binning angle is h_frac*(2*pi)^2,
+    wrapping ~6.28 turns (a color hash rather than a smooth hue wheel).
+    Reproduced exactly; verified against the reference in
+    tests/test_fame_oracle.py."""
     h, s, v = _rgb_to_hsv(jnp.clip(frame, 0.0, 1.0))
     two_pi = 2.0 * jnp.pi
-    hx = (s * jnp.cos(h * two_pi) + 1.0) / 2.0
-    hy = (s * jnp.sin(h * two_pi) + 1.0) / 2.0
+    ang = h * two_pi * two_pi  # h_frac -> kornia radians -> ref's extra 2*pi
+    hx = (s * jnp.cos(ang) + 1.0) / 2.0
+    hy = (s * jnp.sin(ang) + 1.0) / 2.0
     hq = jnp.round(hx * (_DIM - 1) + 1)
     sq = jnp.round(hy * (_DIM - 1) + 1)
     vq = jnp.round(v * (_DIM - 1) + 1)
