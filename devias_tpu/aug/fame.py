@@ -53,11 +53,15 @@ class FAMEConfig:
     crop_size: int = 112  # sets the blur kernel; reference default preserved
     patch_size: int = 16  # pooling for the patch-grid masks
     # exact_topk=True reproduces the reference's exact top-k pixel selection
-    # (full sorts); False selects by bisection thresholds (never
-    # under-selects; only tie-adjacent pixels move). With the low-res
-    # tubelet masks both paths measure ~34-35 ms at batch 12 on v5e, so the
-    # exact reference semantics are the default.
-    exact_topk: bool = True
+    # (full sorts + scatter binarization; 130 ms at batch 12 on v5e, pooled
+    # distill targets within 0.005 of the reference oracle).  False is the
+    # TPU-native default: bisection thresholds select the same pixels up to
+    # value ties (never under-selecting), and the color histograms +
+    # posterior lookup run as one-hot matmuls (no sorts/scatters/gathers;
+    # 35 ms).  Measured vs the reference oracle at full resolution:
+    # mask IoU > 0.999, pooled distill-target max |delta| <= 0.04 on isolated
+    # boundary cells, mean ~1e-4 (tests/test_fame_oracle.py).
+    exact_topk: bool = False
     # Per-tubelet masks are only consumed pooled to the 14x14 patch grid
     # (ref fame.py:146-148). 1 = full reference resolution (default; matches
     # the reference oracle to <0.005 pooled max-delta, tests/test_fame_oracle.py).
@@ -155,7 +159,7 @@ def _color_map(frame: jnp.ndarray) -> jnp.ndarray:
     return cmap.reshape(B, -1).astype(jnp.int32)
 
 
-def _top_fraction_threshold(x: jnp.ndarray, frac: float, iters: int = 16) -> jnp.ndarray:
+def _top_fraction_threshold(x: jnp.ndarray, frac: float, iters: int = 26) -> jnp.ndarray:
     """Per-sample threshold t with |{x >= t}| ~= frac * N over [0,1]-valued
     x, by bisection on the survival fraction — pure VPU reductions (TPU
     scatters/sorts are the expensive alternatives). Maintains the top-k
@@ -173,7 +177,7 @@ def _top_fraction_threshold(x: jnp.ndarray, frac: float, iters: int = 16) -> jnp
     return lo
 
 
-def _bottom_fraction_threshold(x: jnp.ndarray, frac: float, iters: int = 16) -> jnp.ndarray:
+def _bottom_fraction_threshold(x: jnp.ndarray, frac: float, iters: int = 26) -> jnp.ndarray:
     """Per-sample threshold t with |{x <= t}| ~= frac * N (bottom-k analog,
     never under-selecting). NOT the complement of a top threshold: with a
     heavy tie mass (e.g. zero saliency over a static background, the common
@@ -191,12 +195,74 @@ def _bottom_fraction_threshold(x: jnp.ndarray, frac: float, iters: int = 16) -> 
     return hi
 
 
-def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEConfig):
-    """Color-histogram refinement + top-beta binarization (ref fame.py:43-85).
-    mask: [B, H, W] saliency in [0,1]; mean_frame: [B, H, W, 3]."""
-    B, H, W = mask.shape
-    flat = mask.reshape(B, -1)
+def _hist_and_posterior_matmul(cmap, w_fg, w_bg, n_bins: int, n_chunks: int = 16):
+    """Scatter/gather-free color-histogram pipeline via one-hot matmuls.
+
+    TPU scatters (bincount) and per-pixel gathers serialize badly; instead
+    express both directions as contractions with the one-hot color map,
+    computed chunk-by-chunk so the one-hot is never materialized whole:
+
+      hist[b,m,c]    = sum_p w[b,m,p] * onehot(cmap[b,p], c)   (pass 1)
+      refine[b,m,p]  = sum_c onehot(cmap[b,p], c) * ratio[b,c,m] (pass 2)
+
+    cmap: [B, P] int32; w_fg/w_bg: [B, M, P] {0,1}. Returns refine [B, M, P].
+    """
+    B, M, P = w_fg.shape
+    chunk = P // n_chunks
+    assert chunk * n_chunks == P
+    w = jnp.concatenate([w_fg, w_bg], axis=1).astype(jnp.bfloat16)  # [B, 2M, P]
+    cmap_c = cmap.reshape(B, n_chunks, chunk)
+    w_c = w.reshape(B, 2 * M, n_chunks, chunk).transpose(2, 0, 1, 3)
+
+    def hist_body(acc, xs):
+        cm, ww = xs
+        oh = jax.nn.one_hot(cm, n_bins, dtype=jnp.bfloat16)  # [B, chunk, n_bins]
+        return acc + jnp.einsum(
+            "bmk,bkc->bmc", ww, oh, preferred_element_type=jnp.float32
+        ), None
+
+    hist, _ = jax.lax.scan(
+        hist_body,
+        jnp.zeros((B, 2 * M, n_bins), jnp.float32),
+        (cmap_c.transpose(1, 0, 2), w_c),
+    )
+    dict_fg, dict_bg = hist[:, :M], hist[:, M:] + 1.0
+    dict_fg = dict_fg / (dict_fg.sum(axis=-1, keepdims=True) + _EPS)
+    dict_bg = dict_bg / (dict_bg.sum(axis=-1, keepdims=True) + _EPS)
+    ratio = (dict_fg / (dict_bg + dict_fg)).astype(jnp.float32)  # [B, M, n_bins]
+    # pass 2 stays f32: a bf16 posterior table quantizes the refine map to
+    # ~0.4%, which flips binarization boundary pixels; the f32 matmul is
+    # tiny (~11 GFLOP at 224^2 x 9 maps)
+    ratio_t = jnp.swapaxes(ratio, 1, 2)  # [B, n_bins, M]
+
+    def post_body(_, cm):
+        oh = jax.nn.one_hot(cm, n_bins, dtype=jnp.float32)
+        r = jnp.einsum("bkc,bcm->bkm", oh, ratio_t, preferred_element_type=jnp.float32)
+        return None, r
+
+    _, refine = jax.lax.scan(post_body, None, cmap_c.transpose(1, 0, 2))
+    # refine: [n_chunks, B, chunk, M] -> [B, M, P]
+    return refine.transpose(1, 3, 0, 2).reshape(B, M, P)
+
+
+def _get_seg_multi(masks: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEConfig):
+    """Batched color-histogram refinement + top-beta binarization
+    (ref fame.py:43-85) for M saliency maps per sample that all share ONE
+    mean frame — the reference calls getSeg once per tubelet plus once for
+    the clip, always against the same clip-mean frame (ref fame.py:94,106).
+
+    Sharing lets us (a) compute the HSV color map once per sample instead
+    of M times and (b) fold the M per-map fg/bg posteriors into a single
+    [B, 1001, M] table gathered with one take_along_axis — per-pixel
+    gathers are the TPU-expensive op here, and gathering an M-vector per
+    pixel amortizes the index handling M-fold vs M separate gathers.
+
+    masks: [B, M, H, W] saliency in [0,1]; mean_frame: [B, H, W, 3].
+    Returns binary [B, M, H, W]."""
+    B, M, H, W = masks.shape
+    flat = masks.reshape(B * M, H * W)
     cmap = _color_map(mean_frame)  # [B, H*W], bins in [0, 1000]
+    cmap_rep = jnp.broadcast_to(cmap[:, None], (B, M, H * W)).reshape(B * M, H * W)
     n_bins = _DIM * _DIM * _DIM + 1  # bin ids can reach exactly 1000
 
     if cfg.exact_topk:
@@ -204,30 +270,31 @@ def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEC
         n_bg = int(0.1 * H * W)
         _, fg_idx = jax.lax.top_k(flat, n_fg)
         _, bg_idx = jax.lax.top_k(-flat, n_bg)
-        col_fg = jnp.take_along_axis(cmap, fg_idx, axis=1)
-        col_bg = jnp.take_along_axis(cmap, bg_idx, axis=1)
+        col_fg = jnp.take_along_axis(cmap_rep, fg_idx, axis=1)
+        col_bg = jnp.take_along_axis(cmap_rep, bg_idx, axis=1)
         hist = jax.vmap(lambda c: jnp.bincount(c, length=n_bins))
         dict_fg = hist(col_fg).astype(jnp.float32)
         dict_bg = hist(col_bg).astype(jnp.float32) + 1.0
+        dict_fg = dict_fg / (dict_fg.sum(axis=-1, keepdims=True) + _EPS)
+        dict_bg = dict_bg / (dict_bg.sum(axis=-1, keepdims=True) + _EPS)
+        # fold the M per-map posteriors onto one [B, 1001, M] table, gather
+        # ONCE per pixel — pr_fg/(pr_fg+pr_bg) is a pure function of the bin
+        ratio = (dict_fg / (dict_bg + dict_fg)).reshape(B, M, n_bins)
+        ratio_t = jnp.swapaxes(ratio, 1, 2)  # [B, n_bins, M]
+        refine = jnp.take_along_axis(ratio_t, cmap[:, :, None], axis=1)  # [B, HW, M]
+        refine = jnp.swapaxes(refine, 1, 2).reshape(B * M, H, W)
     else:
-        # weighted histograms over threshold-selected pixels (same pixels as
-        # the exact top-k up to value ties at the quantile cut)
+        # sort/scatter/gather-free: threshold-selected pixels (identical to
+        # the exact top-k up to value ties at the quantile cut — the
+        # thresholds never under-select) + one-hot-matmul histograms and
+        # posterior lookup (pure MXU/VPU work)
         t_fg = _top_fraction_threshold(flat, 0.5)
         t_bg = _bottom_fraction_threshold(flat, 0.1)
-        w_fg = (flat >= t_fg).astype(jnp.float32)
-        w_bg = (flat <= t_bg).astype(jnp.float32)
-        whist = jax.vmap(lambda c, w: jnp.bincount(c, weights=w, length=n_bins))
-        dict_fg = whist(cmap, w_fg)
-        dict_bg = whist(cmap, w_bg) + 1.0
-
-    dict_fg = dict_fg / (dict_fg.sum(axis=-1, keepdims=True) + _EPS)
-    dict_bg = dict_bg / (dict_bg.sum(axis=-1, keepdims=True) + _EPS)
-
-    # fold the posterior onto the 1001-entry table, then gather ONCE —
-    # per-pixel gathers are the TPU-expensive op here, and
-    # pr_fg/(pr_fg+pr_bg) is a pure function of the color bin
-    ratio = dict_fg / (dict_bg + dict_fg)
-    refine = jnp.take_along_axis(ratio, cmap, axis=1).reshape(B, H, W)
+        w_fg = (flat >= t_fg).reshape(B, M, -1)
+        w_bg = (flat <= t_bg).reshape(B, M, -1)
+        n_chunks = next(c for c in (16, 14, 8, 7, 4, 2, 1) if (H * W) % c == 0)
+        refine = _hist_and_posterior_matmul(cmap, w_fg, w_bg, n_bins, n_chunks)
+        refine = refine.reshape(B * M, H, W)
 
     refine = _gaussian_blur(refine, cfg.gauss_size, cfg.gauss_sigma)
     refine = _minmax_norm(refine)
@@ -235,12 +302,17 @@ def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEC
     # binarize the top beta*H*W pixels (ref fame.py:80-85)
     if cfg.exact_topk:
         num_fg = int(beta * H * W)
-        _, top_idx = jax.lax.top_k(refine.reshape(B, -1), num_fg)
-        out = jnp.zeros((B, H * W), jnp.float32)
-        out = out.at[jnp.arange(B)[:, None], top_idx].set(1.0)
-        return out.reshape(B, H, W)
-    t = _top_fraction_threshold(refine.reshape(B, -1), beta)
-    return (refine.reshape(B, -1) >= t).astype(jnp.float32).reshape(B, H, W)
+        _, top_idx = jax.lax.top_k(refine.reshape(B * M, -1), num_fg)
+        out = jnp.zeros((B * M, H * W), jnp.float32)
+        out = out.at[jnp.arange(B * M)[:, None], top_idx].set(1.0)
+        return out.reshape(B, M, H, W)
+    t = _top_fraction_threshold(refine.reshape(B * M, -1), beta)
+    return (refine.reshape(B * M, -1) >= t).astype(jnp.float32).reshape(B, M, H, W)
+
+
+def _get_seg(mask: jnp.ndarray, mean_frame: jnp.ndarray, beta: float, cfg: FAMEConfig):
+    """Single-map wrapper over _get_seg_multi (mask: [B, H, W])."""
+    return _get_seg_multi(mask[:, None], mean_frame, beta, cfg)[:, 0]
 
 
 def _clip_saliency(video: jnp.ndarray, cfg: FAMEConfig) -> jnp.ndarray:
@@ -268,27 +340,37 @@ def compute_fame_masks(video: jnp.ndarray, cfg: FAMEConfig):
     B, T, H, W, C = video.shape
     mean_frame = video.mean(axis=1)  # [B,H,W,C]
 
-    sal = _clip_saliency(video, cfg)
-    mask = _get_seg(sal, mean_frame, cfg.beta, cfg)
+    # per-tubelet saliency: pairwise diff (i, i+1), stride 2 (ref fame.py:97-108)
+    pairs = video.reshape(B, T // 2, 2, H, W, C)
+    diffs = jnp.abs(pairs[:, :, 0] - pairs[:, :, 1]).sum(axis=-1)  # [B,T/2,H,W]
 
-    # per-tubelet: pairwise diff (i, i+1), stride 2 (ref fame.py:97-108),
-    # computed at reduced resolution (see FAMEConfig.tubelet_mask_downsample)
     d_factor = cfg.tubelet_mask_downsample
     if H % d_factor or W % d_factor or cfg.patch_size % d_factor:
         d_factor = 1
-    pairs = video.reshape(B, T // 2, 2, H, W, C)
-    diffs = jnp.abs(pairs[:, :, 0] - pairs[:, :, 1]).sum(axis=-1)  # [B,T/2,H,W]
+
+    if d_factor == 1:
+        # fused path: clip saliency + T/2 tubelet saliencies -> one batched
+        # getSeg against the shared clip-mean frame (ref calls it 1 + T/2
+        # times with the same frame, fame.py:94,106)
+        clip_diff = jnp.abs(video[:, :-1] - video[:, 1:]).sum(axis=-1).mean(axis=1)
+        sal = jnp.concatenate([clip_diff[:, None], diffs], axis=1)  # [B,1+T/2,H,W]
+        sal = _gaussian_blur(sal.reshape(B * (1 + T // 2), H, W), cfg.gauss_size, cfg.gauss_sigma)
+        sal = _minmax_norm(sal).reshape(B, 1 + T // 2, H, W)
+        seg = _get_seg_multi(sal, mean_frame, cfg.beta, cfg)
+        return seg[:, 0], seg[:, 1:]
+
+    # reduced-resolution fast mode (documented approximation): the clip-level
+    # mixing mask stays full res; per-tubelet getSeg runs at H/d x W/d with a
+    # rescaled blur kernel (11 @224 -> 3 @56)
+    sal = _clip_saliency(video, cfg)
+    mask = _get_seg(sal, mean_frame, cfg.beta, cfg)
+
     diffs = _downsample(diffs.reshape(B * (T // 2), H, W), d_factor)
-    # blur kernel scales with resolution (11 @224 -> 3 @56)
-    gs = max(cfg.gauss_size // d_factor // 2 * 2 + 1, 3) if d_factor > 1 else cfg.gauss_size
+    gs = max(cfg.gauss_size // d_factor // 2 * 2 + 1, 3)
     d = _gaussian_blur(diffs, gs, gs / 3.0)
-    d = _minmax_norm(d)
-    # each per-tubelet saliency refined against the same clip-mean frame
+    d = _minmax_norm(d).reshape(B, T // 2, H // d_factor, W // d_factor)
     mean_small = _downsample(mean_frame, d_factor)
-    mean_rep = jnp.repeat(mean_small, T // 2, axis=0)
-    per = _get_seg(d, mean_rep, cfg.beta, cfg).reshape(
-        B, T // 2, H // d_factor, W // d_factor
-    )
+    per = _get_seg_multi(d, mean_small, cfg.beta, cfg)
     return mask, per
 
 
