@@ -216,6 +216,7 @@ def make_data_config(args, **overrides) -> DataConfig:
         test_num_segment=args.test_num_segment,
         test_num_crop=args.test_num_crop,
         aa=args.aa,
+        train_interpolation=args.train_interpolation,
         reprob=args.reprob,
         num_sample=args.num_sample,
         nb_classes=args.nb_classes,

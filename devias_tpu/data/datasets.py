@@ -52,6 +52,7 @@ class DataConfig:
     test_num_segment: int = 2
     test_num_crop: int = 3
     aa: str = "rand-m7-n4-mstd0.5-inc1"
+    train_interpolation: str = "bicubic"  # RandAugment resample (ref --train_interpolation)
     reprob: float = 0.0
     num_sample: int = 1      # repeated augmentation crops per clip
     nb_classes: int = 400
@@ -147,6 +148,7 @@ class VideoDataset:
                 buffer, cfg.input_size, cfg.aa,
                 horizontal_flip=self.hflip, reprob=cfg.reprob, rng=rng,
                 host_normalize=cfg.host_normalize,
+                interpolation=cfg.train_interpolation,
             )
 
         if cfg.num_sample > 1:

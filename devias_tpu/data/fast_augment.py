@@ -157,45 +157,63 @@ def sharpness(clip: np.ndarray, f: float) -> np.ndarray:
     return out
 
 
-def _warp_inverse(clip: np.ndarray, inv: np.ndarray) -> np.ndarray:
+_CV2_INTERP = None  # filled lazily (cv2 may be absent)
+
+
+def _frame_flags(interpolation, rng, n_frames):
+    """Per-frame cv2 interpolation flags. 'random' draws bilinear/bicubic
+    independently per frame (ref rand_augment.py:50-55 resolves the random
+    choice on every aug_fn call, i.e. per frame)."""
+    import random as _random
+
+    table = {"bilinear": cv2.INTER_LINEAR, "bicubic": cv2.INTER_CUBIC}
+    if interpolation == "random":
+        rng = rng or _random
+        return [rng.choice((cv2.INTER_LINEAR, cv2.INTER_CUBIC)) for _ in range(n_frames)]
+    return [table[interpolation]] * n_frames
+
+
+def _warp_inverse(clip: np.ndarray, inv: np.ndarray, interpolation="bicubic", rng=None) -> np.ndarray:
     """Apply an inverse-map affine (PIL Image.transform convention)."""
     out = np.empty_like(clip)
+    flags = _frame_flags(interpolation, rng, clip.shape[0])
     for t in range(clip.shape[0]):
         out[t] = cv2.warpAffine(
             clip[t], inv, (clip.shape[2], clip.shape[1]),
-            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            flags=flags[t] | cv2.WARP_INVERSE_MAP,
             borderMode=cv2.BORDER_CONSTANT, borderValue=(_FILL, _FILL, _FILL),
         )
     return out
 
 
-def shear_x(clip: np.ndarray, f: float) -> np.ndarray:
-    return _warp_inverse(clip, np.array([[1, f, 0], [0, 1, 0]], np.float32))
+def shear_x(clip: np.ndarray, f: float, **kw) -> np.ndarray:
+    return _warp_inverse(clip, np.array([[1, f, 0], [0, 1, 0]], np.float32), **kw)
 
 
-def shear_y(clip: np.ndarray, f: float) -> np.ndarray:
-    return _warp_inverse(clip, np.array([[1, 0, 0], [f, 1, 0]], np.float32))
+def shear_y(clip: np.ndarray, f: float, **kw) -> np.ndarray:
+    return _warp_inverse(clip, np.array([[1, 0, 0], [f, 1, 0]], np.float32), **kw)
 
 
-def translate_x_rel(clip: np.ndarray, f: float) -> np.ndarray:
+def translate_x_rel(clip: np.ndarray, f: float, **kw) -> np.ndarray:
     px = f * clip.shape[2]
-    return _warp_inverse(clip, np.array([[1, 0, px], [0, 1, 0]], np.float32))
+    return _warp_inverse(clip, np.array([[1, 0, px], [0, 1, 0]], np.float32), **kw)
 
 
-def translate_y_rel(clip: np.ndarray, f: float) -> np.ndarray:
+def translate_y_rel(clip: np.ndarray, f: float, **kw) -> np.ndarray:
     px = f * clip.shape[1]
-    return _warp_inverse(clip, np.array([[1, 0, 0], [0, 1, px]], np.float32))
+    return _warp_inverse(clip, np.array([[1, 0, 0], [0, 1, px]], np.float32), **kw)
 
 
-def rotate(clip: np.ndarray, deg: float) -> np.ndarray:
+def rotate(clip: np.ndarray, deg: float, interpolation="bicubic", rng=None) -> np.ndarray:
     h, w = clip.shape[1:3]
     # PIL rotates counterclockwise about the center; cv2's positive angle
     # is also counterclockwise
     m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), deg, 1.0)
     out = np.empty_like(clip)
+    flags = _frame_flags(interpolation, rng, clip.shape[0])
     for t in range(clip.shape[0]):
         out[t] = cv2.warpAffine(
-            clip[t], m, (w, h), flags=cv2.INTER_LINEAR,
+            clip[t], m, (w, h), flags=flags[t],
             borderMode=cv2.BORDER_CONSTANT, borderValue=(_FILL, _FILL, _FILL),
         )
     return out
@@ -205,7 +223,6 @@ FAST_OPS = {
     "AutoContrast": lambda clip, arg: autocontrast(clip),
     "Equalize": lambda clip, arg: equalize(clip),
     "Invert": lambda clip, arg: invert(clip),
-    "Rotate": rotate,
     "Posterize": posterize,
     "Solarize": solarize,
     "SolarizeAdd": solarize_add,
@@ -213,6 +230,10 @@ FAST_OPS = {
     "Contrast": contrast,
     "Brightness": brightness,
     "Sharpness": sharpness,
+}
+
+GEOMETRIC_FAST_OPS = {
+    "Rotate": rotate,
     "ShearX": shear_x,
     "ShearY": shear_y,
     "TranslateXRel": translate_x_rel,
@@ -220,5 +241,7 @@ FAST_OPS = {
 }
 
 
-def apply_fast_op(clip: np.ndarray, name: str, arg) -> np.ndarray:
+def apply_fast_op(clip: np.ndarray, name: str, arg, interpolation: str = "bicubic", rng=None) -> np.ndarray:
+    if name in GEOMETRIC_FAST_OPS:
+        return GEOMETRIC_FAST_OPS[name](clip, arg, interpolation=interpolation, rng=rng)
     return FAST_OPS[name](clip, arg)

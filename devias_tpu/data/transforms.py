@@ -135,26 +135,29 @@ def _randomly_negate(v, rng):
     return -v if rng.random() > 0.5 else v
 
 
-def _rotate(img, deg):
-    return img.rotate(deg, resample=Image.BILINEAR, fillcolor=_FILL)
+_PIL_INTERP = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC}
 
 
-def _shear_x(img, f):
-    return img.transform(img.size, Image.AFFINE, (1, f, 0, 0, 1, 0), resample=Image.BILINEAR, fillcolor=_FILL)
+def _rotate(img, deg, resample=Image.BICUBIC):
+    return img.rotate(deg, resample=resample, fillcolor=_FILL)
 
 
-def _shear_y(img, f):
-    return img.transform(img.size, Image.AFFINE, (1, 0, 0, f, 1, 0), resample=Image.BILINEAR, fillcolor=_FILL)
+def _shear_x(img, f, resample=Image.BICUBIC):
+    return img.transform(img.size, Image.AFFINE, (1, f, 0, 0, 1, 0), resample=resample, fillcolor=_FILL)
 
 
-def _translate_x_rel(img, f):
+def _shear_y(img, f, resample=Image.BICUBIC):
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, f, 1, 0), resample=resample, fillcolor=_FILL)
+
+
+def _translate_x_rel(img, f, resample=Image.BICUBIC):
     pixels = f * img.size[0]
-    return img.transform(img.size, Image.AFFINE, (1, 0, pixels, 0, 1, 0), resample=Image.BILINEAR, fillcolor=_FILL)
+    return img.transform(img.size, Image.AFFINE, (1, 0, pixels, 0, 1, 0), resample=resample, fillcolor=_FILL)
 
 
-def _translate_y_rel(img, f):
+def _translate_y_rel(img, f, resample=Image.BICUBIC):
     pixels = f * img.size[1]
-    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, pixels), resample=Image.BILINEAR, fillcolor=_FILL)
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, pixels), resample=resample, fillcolor=_FILL)
 
 
 def _posterize(img, bits):
@@ -198,7 +201,10 @@ _RAND_OPS = [
 ]
 
 
-def _apply_op(img: Image.Image, name: str, arg) -> Image.Image:
+_GEOMETRIC_OPS = ("Rotate", "ShearX", "ShearY", "TranslateXRel", "TranslateYRel")
+
+
+def _apply_op(img: Image.Image, name: str, arg, resample=Image.BICUBIC) -> Image.Image:
     if name == "AutoContrast":
         return ImageOps.autocontrast(img)
     if name == "Equalize":
@@ -206,7 +212,7 @@ def _apply_op(img: Image.Image, name: str, arg) -> Image.Image:
     if name == "Invert":
         return ImageOps.invert(img)
     if name == "Rotate":
-        return _rotate(img, arg)
+        return _rotate(img, arg, resample)
     if name == "Posterize":
         return _posterize(img, arg)
     if name == "Solarize":
@@ -222,13 +228,13 @@ def _apply_op(img: Image.Image, name: str, arg) -> Image.Image:
     if name == "Sharpness":
         return ImageEnhance.Sharpness(img).enhance(arg)
     if name == "ShearX":
-        return _shear_x(img, arg)
+        return _shear_x(img, arg, resample)
     if name == "ShearY":
-        return _shear_y(img, arg)
+        return _shear_y(img, arg, resample)
     if name == "TranslateXRel":
-        return _translate_x_rel(img, arg)
+        return _translate_x_rel(img, arg, resample)
     if name == "TranslateYRel":
-        return _translate_y_rel(img, arg)
+        return _translate_y_rel(img, arg, resample)
     raise ValueError(name)
 
 
@@ -256,17 +262,33 @@ def parse_rand_augment(policy: str):
 def rand_augment_clip(
     clip: np.ndarray, policy: str = "rand-m7-n4-mstd0.5-inc1",
     rng: Optional[random.Random] = None, fast: bool = True,
+    interpolation: str = "bicubic", op_prob: float = 0.5,
 ) -> np.ndarray:
     """Apply RandAugment with ONE op/param draw per clip, applied to every
     frame (clip-consistent, ref video_transforms.py:620-653). Input/output
-    uint8 [T,H,W,C]. fast=True uses the vectorized numpy/cv2 ops
-    (devias_tpu.data.fast_augment, same semantics, ~6x faster per core);
-    fast=False keeps the per-frame PIL path."""
+    uint8 [T,H,W,C].
+
+    Reference semantics (ref rand_augment.py:337-383, golden-tested in
+    tests/test_randaugment_oracle.py):
+      * num_layers ops chosen uniformly WITH replacement
+      * each chosen op applied with probability `op_prob` (default 0.5)
+      * per-op magnitude ~ N(magnitude, mstd), clipped to [0, 10]
+      * geometric ops resample with `interpolation`: 'bicubic' (the
+        reference --train_interpolation default), 'bilinear', or 'random'
+        (per-frame bilinear/bicubic draw, ref rand_augment.py:50-55)
+      * grey (128,128,128) fill
+
+    fast=True uses the vectorized numpy/cv2 ops (devias_tpu.data.
+    fast_augment, same semantics, ~6x faster per core); fast=False keeps
+    the per-frame PIL path."""
     rng = rng or random
     magnitude, num_layers, mstd = parse_rand_augment(policy)
     chosen = []
     for _ in range(num_layers):
         name = rng.choice(_RAND_OPS)
+        # per-op apply probability (ref rand_augment.py:342,365)
+        if op_prob < 1.0 and rng.random() > op_prob:
+            continue
         level = magnitude
         if mstd > 0:
             level = rng.gauss(magnitude, mstd)
@@ -279,14 +301,18 @@ def rand_augment_clip(
 
         out = clip
         for name, arg in chosen:
-            out = apply_fast_op(out, name, arg)
+            out = apply_fast_op(out, name, arg, interpolation=interpolation, rng=rng)
         return out
 
     out = np.empty_like(clip)
     for t in range(clip.shape[0]):
         img = Image.fromarray(clip[t])
         for name, arg in chosen:
-            img = _apply_op(img, name, arg)
+            if interpolation == "random":
+                resample = rng.choice((Image.BILINEAR, Image.BICUBIC))
+            else:
+                resample = _PIL_INTERP[interpolation]
+            img = _apply_op(img, name, arg, resample)
         out[t] = np.asarray(img)
     return out
 
@@ -339,6 +365,7 @@ def train_augment(
     rng: Optional[random.Random] = None,
     fast: bool = True,
     host_normalize: bool = True,
+    interpolation: str = "bicubic",
 ) -> np.ndarray:
     """The reference `_aug_frame` chain (ref kinetics.py:239-298).
 
@@ -348,7 +375,7 @@ def train_augment(
     per pixel from uint8 resize rounding). fast=False keeps the exact
     reference order on the PIL path."""
     rng = rng or random
-    clip = rand_augment_clip(clip, policy, rng, fast=fast)
+    clip = rand_augment_clip(clip, policy, rng, fast=fast, interpolation=interpolation)
     if not host_normalize and reprob == 0:
         # uint8 device-normalize path: ship raw bytes, the model (or step)
         # applies /255 + ImageNet affine on the VPU (4x smaller transfers)
