@@ -346,7 +346,13 @@ def run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
         print("HAT:", res)
 
     if args.run_knn:
-        from devias_tpu.eval.knn import extract_slot_features, run_knn_matrix
+        from devias_tpu.data.datasets import knn_build_dataset
+        from devias_tpu.eval.knn import (
+            extract_slot_features,
+            gather_features_across_hosts,
+            run_knn_matrix,
+            save_knn_features,
+        )
 
         @jax.jit
         def feature_fn(videos):
@@ -357,8 +363,10 @@ def run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
         for data_set in ("HMDB51", "UCF101", "Diving-48"):
             try:
                 cfg = make_data_config(args, data_set=data_set)
-                tr, _ = build_dataset(True, False, cfg)
-                te, _ = build_dataset(False, False, cfg)
+                # BOTH splits use deterministic validation transforms
+                # (ref dataset/datasets.py:474,504 mode='validation')
+                tr, _ = knn_build_dataset(True, cfg)
+                te, _ = knn_build_dataset(False, cfg)
             except (FileNotFoundError, ValueError):
                 continue
             tr_l = make_eval_loader(tr, args)
@@ -367,6 +375,17 @@ def run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
                 tr_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
             tea, tes, teal, tesl = extract_slot_features(
                 te_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
+            # multi-host: concatenate per-host shards (ref run_knn.py:72-119)
+            tra, trs, tral, trsl = gather_features_across_hosts(tra, trs, tral, trsl)
+            tea, tes, teal, tesl = gather_features_across_hosts(tea, tes, teal, tesl)
+            if rank == 0 and args.output_dir:
+                # feature dump (ref run_knn.py:230-237 file naming)
+                save_knn_features(args.output_dir, data_set, {
+                    "train_action_features": tra, "train_scene_features": trs,
+                    "test_action_features": tea, "test_scene_features": tes,
+                    "train_action_labels": tral, "test_action_labels": teal,
+                    "train_scene_labels": trsl, "test_scene_labels": tesl,
+                })
             results[data_set] = run_knn_matrix(
                 tra, trs, tral, trsl, tea, tes, teal, tesl,
                 nb_knn=args.nb_knn, temperature=args.temperature,

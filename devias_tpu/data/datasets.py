@@ -351,3 +351,20 @@ def build_dataset(is_train: bool, test_mode: bool, cfg: DataConfig):
         return VideoDataset(entries, mode, cfg), nb
 
     raise ValueError(f"unknown dataset {ds_name}")
+
+
+def knn_build_dataset(train_split: bool, cfg: DataConfig):
+    """k-NN feature-bank datasets (ref dataset/datasets.py:450-563):
+    BOTH splits use deterministic validation-mode transforms — the
+    reference builds even the train feature bank with mode='validation'
+    (ref datasets.py:474,504), never with RandAugment/random crops.
+
+    Returns (dataset, nb_classes)."""
+    mode = "train" if train_split else "validation"
+    if cfg.data_set == "Places365":
+        entries = read_filelist(_anno(cfg, mode), cfg.data_prefix)
+        return PlacesDataset(entries, cfg), 365
+    entries = read_filelist(_anno(cfg, mode), cfg.data_prefix)
+    nb = _SIMPLE_CLASSES.get(cfg.data_set) or cfg.nb_classes
+    # validation-mode dataset over the selected split's filelist
+    return VideoDataset(entries, "validation", cfg), nb

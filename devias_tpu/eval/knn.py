@@ -80,6 +80,48 @@ def extract_slot_features(
     )
 
 
+def gather_features_across_hosts(*arrays):
+    """Assemble per-host feature shards into the full bank on every host
+    (ref run_knn.py:72-119 all_gathers feature tensors across ranks).
+    Host h extracts its loader shard; process_allgather concatenates the
+    shards along axis 0. No-op in single-process runs."""
+    import jax
+
+    if jax.process_count() == 1:
+        return arrays if len(arrays) > 1 else arrays[0]
+    from jax.experimental import multihost_utils
+
+    out = tuple(
+        None if a is None
+        else np.concatenate(list(multihost_utils.process_allgather(a, tiled=False)))
+        for a in arrays
+    )
+    return out if len(out) > 1 else out[0]
+
+
+def save_knn_features(output_dir: str, data_set: str, banks: Dict[str, np.ndarray]):
+    """Dump extracted feature banks (ref run_knn.py:230-237 saves 8 .pth
+    tensors per dataset). Written via torch.save when torch is available
+    (byte-compatible with the reference's files), else .npy."""
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    try:
+        import torch
+
+        for name, arr in banks.items():
+            arr = np.asarray(arr)
+            if arr.dtype.name == "bfloat16":  # ml_dtypes bf16: no torch bridge
+                arr = arr.astype(np.float32)
+            torch.save(
+                torch.from_numpy(arr),
+                os.path.join(output_dir, f"{data_set}_{name}.pth"),
+            )
+    except ImportError:  # pragma: no cover
+        for name, arr in banks.items():
+            np.save(os.path.join(output_dir, f"{data_set}_{name}.npy"), np.asarray(arr))
+
+
 def run_knn_matrix(
     train_action, train_scene, train_action_labels, train_scene_labels,
     test_action, test_scene, test_action_labels, test_scene_labels,

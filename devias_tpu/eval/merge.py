@@ -43,17 +43,34 @@ def write_result_file(
 
 
 def parse_result_file(path: str):
+    """Strict parser for '<id> [l0, l1, ...] <label> <chunk> <split>' lines.
+
+    Raises ValueError (with file:line context) on malformed input instead of
+    silently truncating — np.fromstring, which the reference's merge relies
+    on, drops everything after the first bad token."""
     out = []
     with open(path) as f:
         lines = f.readlines()[1:]
-    for line in lines:
+    for lineno, line in enumerate(lines, start=2):
         line = line.strip()
         if not line:
             continue
-        name = line.split("[")[0].strip()
-        rest = line.split("]")[1].split(" ")
-        label, chunk, split = rest[1], rest[2], rest[3]
-        data = np.fromstring(line.split("[")[1].split("]")[0], dtype=float, sep=",")
+        try:
+            head, _, tail = line.partition("[")
+            body, closed, rest = tail.partition("]")
+            if not _ or not closed:
+                raise ValueError("missing logit brackets")
+            name = head.strip()
+            fields = rest.split()
+            if len(fields) != 3:
+                raise ValueError(f"expected '<label> <chunk> <split>' after ']', got {rest!r}")
+            label, chunk, split = fields
+            int(label)  # must parse (chunk/split stay strings for the concat key)
+            data = np.array([float(v) for v in body.split(",")], dtype=np.float64)
+            if data.size == 0 or not np.isfinite(data).all():
+                raise ValueError("empty or non-finite logit vector")
+        except ValueError as exc:
+            raise ValueError(f"{path}:{lineno}: malformed result line ({exc}): {line[:120]!r}") from exc
         out.append((name, data, label, chunk, split))
     return out
 
