@@ -42,50 +42,64 @@ def _pick_block(n: int, preferred: int = 256) -> int:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # [bq, d]
+    # VPU passes over the [bq, n] tile are the fwd bottleneck (the two
+    # matmuls are half-MXU at d=64), so: scale q (not s) on the tiny
+    # [bq, d] block, and defer the softmax 1/rowsum past the e@V matmul —
+    # the divide then runs on [bq, d] instead of [bq, n] (n/d = 24x less).
+    q = q_ref[0] * scale  # [bq, d]
     k = k_ref[0]  # [n, d]
     v = v_ref[0]  # [n, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, n]
+    )  # [bq, n]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / e.sum(axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
-    )
+    l = e.sum(axis=-1, keepdims=True)
+    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 dk_acc, dv_acc, *, scale: float):
+    # Recomputes e from q/K (cheaper than spilling P to HBM), then applies
+    # the flash-attention identities that keep every extra elementwise pass
+    # on [bq, d] instead of [bq, n]:
+    #   D  = rowsum(dO * O)                      (instead of rowsum(dP * P))
+    #   t  = e * (dP - D)            => dS = t * inv_l (row scale, deferred)
+    #   dq = (t @ K) * (inv_l * scale)           (row scale on [bq, d])
+    #   dk += t^T @ (q * inv_l * scale)          (row scale on [bq, d])
+    #   dv += (e * inv_l)^T @ dO
     iq = pl.program_id(1)
     nq = pl.num_programs(1)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]  # input dtype (bf16): feeds the MXU directly
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+        q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / e.sum(axis=-1, keepdims=True)  # [bq, n] f32
+    e = jnp.exp(s - m)  # [bq, n] f32
+    inv_l = 1.0 / e.sum(axis=-1, keepdims=True)  # [bq, 1]
 
+    d_row = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32), axis=-1, keepdims=True
+    )  # [bq, 1]
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, n]
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [bq, n]
+    t = (e * (dp - d_row)).astype(q.dtype)  # [bq, n]
+    p = (e * inv_l).astype(q.dtype)  # [bq, n]
 
     dq_ref[0] = (
-        jnp.dot(ds.astype(q.dtype), k, preferred_element_type=jnp.float32) * scale
+        jnp.dot(t, k, preferred_element_type=jnp.float32) * (inv_l * scale)
     ).astype(dq_ref.dtype)
 
     dk_contrib = jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        t, (q * (inv_l * scale)).astype(q.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [n, d]
+    )  # [n, d]
     dv_contrib = jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [n, d]
@@ -129,7 +143,7 @@ def _fwd_call(q, k, v, scale: float, block_q: Optional[int], interpret: bool):
     )(q, k, v)
 
 
-def _bwd_call(q, k, v, do, scale: float, block_q: Optional[int], interpret: bool):
+def _bwd_call(q, k, v, o, do, scale: float, block_q: Optional[int], interpret: bool):
     BH, N, D = q.shape
     bq = block_q or _pick_block(N)
     grid = (BH, N // bq)
@@ -141,6 +155,7 @@ def _bwd_call(q, k, v, do, scale: float, block_q: Optional[int], interpret: bool
             pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -158,10 +173,13 @@ def _bwd_call(q, k, v, do, scale: float, block_q: Optional[int], interpret: bool
             pltpu.VMEM((N, D), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=10 * BH * N * N * D, bytes_accessed=6 * BH * N * D * 2, transcendentals=BH * N * N
         ),
-    )(q, k, v, do)
+    )(q, k, v, o, do)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -188,15 +206,18 @@ def fused_attention(
 
 
 def _fa_fwd(q, k, v, scale, block_q, interpret):
-    return fused_attention(q, k, v, scale, block_q, interpret), (q, k, v)
+    out = fused_attention(q, k, v, scale, block_q, interpret)
+    # o is saved for the backward's D = rowsum(dO * O) identity, which
+    # replaces the [bq, n]-wide rowsum(dP * P)
+    return out, (q, k, v, out)
 
 
 def _fa_bwd(scale, block_q, interpret, res, g):
-    q, k, v = res
+    q, k, v, o = res
     B, H, N, D = q.shape
     dq, dk, dv = _bwd_call(
         q.reshape(B * H, N, D), k.reshape(B * H, N, D), v.reshape(B * H, N, D),
-        g.reshape(B * H, N, D), scale, block_q, interpret,
+        o.reshape(B * H, N, D), g.reshape(B * H, N, D), scale, block_q, interpret,
     )
     return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
 

@@ -56,45 +56,47 @@ class SlotCrossAttention(nn.Module):
     (ref: agg_block/attention.py:85-141). heads=4, dim_head=512 as set at
     agg_block/agg_block.py:83.
 
-    fused=True routes through the Pallas fused kernel
-    (devias_tpu.kernels.slot_attention): projections + slot softmax +
-    renorm + output projection in one context pass. Same math, same params."""
+    The context never changes across rounds, so K/V are projected ONCE via
+    `project_kv` and reused by every `__call__` of a tied stack — the K/V
+    projections (and their whole backward) are the agg block's dominant
+    FLOPs (2 x N x D x inner vs the per-round S=2-row work), and a tied
+    depth-8 stack would otherwise pay them 8x in fwd and bwd."""
 
+    query_dim: int = 768
+    context_dim: int = 768
     heads: int = 4
     dim_head: int = 512
     dropout: float = 0.0
-    fused: bool = False
-    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, context, deterministic: bool = True, k_pos=None):
-        B, S, D = x.shape
-        N = context.shape[1]
+    def setup(self):
         inner = self.heads * self.dim_head
-        scale = self.dim_head**-0.5
+        self.to_q = _Kernel((self.query_dim, inner), name="to_q")
+        self.to_k = _Kernel((self.context_dim, inner), name="to_k")
+        self.to_v = _Kernel((self.context_dim, inner), name="to_v")
+        self.to_out = _Kernel((inner, self.query_dim), use_bias=True, name="to_out")
+        self.drop = nn.Dropout(self.dropout)
 
-        wq = _Kernel((D, inner), name="to_q")()
-        wk = _Kernel((context.shape[-1], inner), name="to_k")()
-        wv = _Kernel((context.shape[-1], inner), name="to_v")()
-        wo, bo = _Kernel((inner, D), use_bias=True, name="to_out")()
-        wq, wk, wv, wo, bo = (w.astype(self.dtype) for w in (wq, wk, wv, wo, bo))
-
-        if self.fused and self.dropout == 0.0 and k_pos is None:
-            from devias_tpu.kernels.slot_attention import fused_slot_attention
-
-            out, sim_distill = fused_slot_attention(
-                x, context, wq, wk, wv, wo, bo,
-                self.heads, self.dim_head, None, self.fused_interpret,
-            )
-            return out, sim_distill
-
-        q = (x @ wq).reshape(B, S, self.heads, self.dim_head)
-        # positional encoding is added to KEYS only (ref attention.py:123-126)
+    def project_kv(self, context, k_pos=None):
+        """K/V projections of the (already normed) context: [B, N, h, dh] x2.
+        Positional encoding is added to KEYS only (ref attention.py:123-126)."""
+        B, N, _ = context.shape
+        wk = self.to_k().astype(self.dtype)
+        wv = self.to_v().astype(self.dtype)
         k_in = context if k_pos is None else context + k_pos.astype(context.dtype)
         k = (k_in @ wk).reshape(B, N, self.heads, self.dim_head)
         v = (context @ wv).reshape(B, N, self.heads, self.dim_head)
+        return k, v
 
+    def __call__(self, x, k, v, deterministic: bool = True):
+        B, S, D = x.shape
+        inner = self.heads * self.dim_head
+        scale = self.dim_head**-0.5
+        wq = self.to_q().astype(self.dtype)
+        wo, bo = self.to_out()
+        wo, bo = wo.astype(self.dtype), bo.astype(self.dtype)
+
+        q = (x @ wq).reshape(B, S, self.heads, self.dim_head)
         sim = jnp.einsum("bshd,bnhd->bhsn", q, k) * scale
         # slot-attention competition: softmax over the slot axis S
         attn = jax.nn.softmax(sim.astype(jnp.float32), axis=2)
@@ -105,7 +107,7 @@ class SlotCrossAttention(nn.Module):
 
         out = jnp.einsum("bhsn,bnhd->bshd", attn, v).reshape(B, S, inner)
         out = out @ wo + bo
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = self.drop(out, deterministic=deterministic)
         return out, sim_distill
 
 
@@ -121,8 +123,6 @@ class _AggLayer(nn.Module):
     ff_mult: int = 4
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
-    fused: bool = False
-    fused_interpret: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -131,11 +131,11 @@ class _AggLayer(nn.Module):
             epsilon=TORCH_LN_EPS, dtype=self.dtype, name="norm_context"
         )
         self.cross_attn = SlotCrossAttention(
+            query_dim=self.latent_dim,
+            context_dim=self.latent_dim,
             heads=self.heads,
             dim_head=self.dim_head,
             dropout=self.attn_dropout,
-            fused=self.fused,
-            fused_interpret=self.fused_interpret,
             dtype=self.dtype,
             name="cross_attn",
         )
@@ -148,10 +148,8 @@ class _AggLayer(nn.Module):
         )
         self.ff_drop = nn.Dropout(self.ff_dropout)
 
-    def __call__(self, x, normed_context, deterministic: bool = True, k_pos=None):
-        attn_out, sim = self.cross_attn(
-            self.norm_q(x), normed_context, deterministic=deterministic, k_pos=k_pos
-        )
+    def __call__(self, x, k, v, deterministic: bool = True):
+        attn_out, sim = self.cross_attn(self.norm_q(x), k, v, deterministic=deterministic)
         x = attn_out + x
         y = self.norm_ff(x)
         y = self.ff_fc1(y)
@@ -161,8 +159,9 @@ class _AggLayer(nn.Module):
         x = y + x
         return x, sim
 
-    def norm_ctx(self, context):
-        return self.norm_context(context)
+    def project_kv(self, context, k_pos=None):
+        """Context LN + K/V projections, computed once per unique layer."""
+        return self.cross_attn.project_kv(self.norm_context(context), k_pos=k_pos)
 
 
 class AggregationBlock(nn.Module):
@@ -184,6 +183,8 @@ class AggregationBlock(nn.Module):
     ff_dropout: float = 0.0
     last_ln: bool = True
     pos_enc_type: str = "none"  # 'none' (all published configs) | 'sine1d' | 'sine2d'
+    # accepted for API compat; the agg block is pure XLA with hoisted K/V
+    # (the per-round work is S=2-row-tiny, so there is nothing left to fuse)
     fused: bool = False
     fused_interpret: bool = False
     dtype: Dtype = jnp.float32
@@ -209,15 +210,11 @@ class AggregationBlock(nn.Module):
                 ff_mult=self.ff_mult,
                 attn_dropout=self.attn_dropout,
                 ff_dropout=self.ff_dropout,
-                fused=self.fused,
-                fused_interpret=self.fused_interpret,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )
             for i in range(n_unique)
         ]
-        # context is static across rounds: normalize once per unique layer
-        normed_ctx = [layer.norm_ctx(context) for layer in layers]
 
         k_pos = None
         if self.pos_enc_type not in ("none", "", None):
@@ -227,10 +224,18 @@ class AggregationBlock(nn.Module):
                 self.pos_enc_type, context.shape[1], context.shape[-1]
             )
 
+        # The context is static across rounds, so the context LN and the K/V
+        # projections — the agg block's dominant FLOPs — run once per UNIQUE
+        # layer; a tied depth-8 stack reuses them for all 8 rounds (the
+        # reference recomputes them every round, agg_block/attention.py:125-126,
+        # and autodiff of this hoisted form also accumulates dK/dV across
+        # rounds before one projection backward).
+        kv = [layer.project_kv(context, k_pos=k_pos) for layer in layers]
+
         sim = None
         for i in range(self.depth):
             j = 0 if self.weight_tie else i
-            x, sim = layers[j](x, normed_ctx[j], deterministic=deterministic, k_pos=k_pos)
+            x, sim = layers[j](x, kv[j][0], kv[j][1], deterministic=deterministic)
 
         if self.last_ln:
             x = nn.LayerNorm(

@@ -84,9 +84,14 @@ def test_slot_cross_attention_matches_torch_oracle():
     B, S, N, D, heads, dh = 2, 3, 10, 16, 4, 8
     x = rng.normal(size=(B, S, D)).astype(np.float32)
     ctx = rng.normal(size=(B, N, D)).astype(np.float32)
-    mod = SlotCrossAttention(heads=heads, dim_head=dh)
-    vs = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx))
-    out, sim = mod.apply(vs, jnp.asarray(x), jnp.asarray(ctx))
+    mod = SlotCrossAttention(query_dim=D, context_dim=D, heads=heads, dim_head=dh)
+
+    def full(m, x_, ctx_):
+        k, v = m.project_kv(ctx_)
+        return m(x_, k, v)
+
+    vs = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx), method=full)
+    out, sim = mod.apply(vs, jnp.asarray(x), jnp.asarray(ctx), method=full)
     out, sim = np.asarray(out), np.asarray(sim)
 
     p = vs["params"]
