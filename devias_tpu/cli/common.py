@@ -110,6 +110,9 @@ def build_shared_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--enable_deepspeed", action="store_true", default=False,
                    help="accepted for command compatibility; bf16 needs no engine")
     # devias_tpu extensions
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="devias_tpu extension: capture a jax.profiler trace "
+                        "of a few steps of the first epoch into this dir")
     p.add_argument("--max_steps_per_epoch", default=0, type=int,
                    help="devias_tpu extension: cap steps/epoch (smoke runs)")
     p.add_argument("--smoke_tiny", action="store_true", default=False,
@@ -140,41 +143,89 @@ def run_train_loop(
     validate=None,
     logger: Optional["JsonlLogger"] = None,
     start_epoch: int = 0,
+    on_epoch_end=None,
+    print_freq: int = 50,
 ):
-    """The shared epoch loop (ref engine train_one_epoch + the per-script
-    loop at run_slot_finetuning.py:648-713): step, log, validate, track the
-    best metric, checkpoint. Returns (state, best_acc)."""
-    from devias_tpu.ckpt import save_checkpoint
-    from devias_tpu.train import place_data_parallel
+    """The ONE shared epoch loop all six CLIs use (ref engine
+    train_one_epoch + the per-script loop at run_slot_finetuning.py:648-713):
+    prefetched async host->device transfer, jitted step, windowed meters
+    with cross-host sync, JSONL + TB logging, validation with best-ckpt
+    tracking, periodic checkpointing, optional profiler capture.
 
-    from devias_tpu.utils import TensorLogger
+    validate(state) -> metric dict (runs before checkpoint decisions).
+    on_epoch_end(state, epoch, record) -> optional extra record entries.
+    Returns (state, best_acc)."""
+    import itertools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from devias_tpu.ckpt import save_checkpoint
+    from devias_tpu.data.loader import device_prefetch
+    from devias_tpu.utils import MetricLogger, TensorLogger
 
     logger = logger or JsonlLogger(args.output_dir)
     tb = TensorLogger(args.log_dir or (os.path.join(args.output_dir, "tb") if args.output_dir else None))
     rank = jax.process_index()
     best_acc = -1.0
     rng = jax.random.PRNGKey(args.seed)
+    profile_dir = getattr(args, "profile_dir", "") or ""
+    profiling = False
+
+    # replicate the train state across the mesh once; batches are sharded
+    # over the data axis as they are prefetched (computation-follows-sharding;
+    # XLA inserts the gradient psum over ICI)
+    repl = NamedSharding(mesh, P())
+    data_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+
     metrics = {}
     for epoch in range(start_epoch, args.epochs):
         loader_train.set_epoch(epoch)
+        meters = MetricLogger()
         t0 = time.time()
-        for it, batch in enumerate(loader_train):
-            if it >= steps_per_epoch:
-                break
-            dev_batch = {k: jnp.asarray(batch[k]) for k in batch_keys}
-            state, dev_batch = place_data_parallel(mesh, state, dev_batch)
+        last_print = t0
+
+        batches = (
+            {k: batch[k] for k in batch_keys}
+            for batch in itertools.islice(iter(loader_train), steps_per_epoch)
+        )
+        it = -1
+        # async host->device: keep 2 batches in flight ahead of the step
+        # (replaces the reference's pinned-memory non_blocking copies,
+        # ref engine_for_slot.py:98-99)
+        for it, dev_batch in enumerate(
+            device_prefetch(batches, size=2, sharding=data_sharding)
+        ):
+            if profile_dir and epoch == start_epoch and it == 5:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             state, metrics = train_step(state, *extra_step_args, dev_batch, rng)
-            if it % 50 == 0:
+            if profiling and it == 10:
+                jax.tree.leaves(metrics)[0].block_until_ready()
+                jax.profiler.stop_trace()
+                profiling = False
+            if it % print_freq == 0:
+                # the periodic device_get is the only host sync in the loop
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                print(f"epoch {epoch} it {it}/{steps_per_epoch} " +
-                      " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())))
+                meters.update(**m)
+                now = time.time()
+                iter_t = (now - last_print) / (print_freq if it else 1)
+                last_print = now
+                print(f"epoch {epoch} it {it}/{steps_per_epoch} "
+                      f"iter_time {iter_t:.3f}s  {meters}")
                 if not np.isfinite(m["loss"]):
                     raise RuntimeError(f"Loss is {m['loss']}, stopping training")
-        record = {"epoch": epoch, "train_time_s": round(time.time() - t0, 1)}
+        if profiling:  # short epoch ended inside the capture window
+            jax.profiler.stop_trace()
+            profiling = False
         if metrics:
-            record.update(
-                {f"train_{k}": float(v) for k, v in jax.device_get(metrics).items()}
-            )
+            meters.update(**{k: float(v) for k, v in jax.device_get(metrics).items()})
+        # global (cross-host) epoch averages (ref utils/utils.py:39-50)
+        meters.synchronize_between_processes()
+
+        record = {"epoch": epoch, "train_time_s": round(time.time() - t0, 1),
+                  "n_steps": it + 1}
+        record.update({f"train_{k}": round(m.global_avg, 6) for k, m in meters.meters.items()})
         if validate is not None and not args.disable_eval_during_finetuning:
             val = validate(state)
             record.update({f"val_{k}": round(float(v), 3) for k, v in val.items()})
@@ -182,6 +233,10 @@ def run_train_loop(
                 best_acc = val["acc1"]
                 if args.output_dir and args.save_ckpt and rank == 0:
                     save_checkpoint(os.path.join(args.output_dir, "ckpt_best"), epoch, state)
+        if on_epoch_end is not None:
+            extra = on_epoch_end(state, epoch, record)
+            if extra:
+                record.update(extra)
         if args.output_dir and args.save_ckpt and rank == 0 and (
             (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
         ):
@@ -192,6 +247,7 @@ def run_train_loop(
                   **{k[6:]: v for k, v in record.items() if k.startswith("train_")})
         tb.update(head="val", step=epoch,
                   **{k[4:]: v for k, v in record.items() if k.startswith("val_")})
+        tb.update(head="perf", step=epoch, train_time_s=record["train_time_s"])
         tb.flush()
         print(record)
     return state, best_acc

@@ -58,6 +58,9 @@ def validation_block(loader, forward_fn, batch_size, num_action, which: str):
 
 def main(args=None):
     args = args or get_args()
+    from devias_tpu.core.dist import maybe_init_distributed
+
+    maybe_init_distributed()  # multi-host (ref utils/utils.py:249-282)
     model = build_hvu_model(args)
     x = jnp.zeros((1, args.num_frames, args.input_size, args.input_size, 3), jnp.float32)
     params = jax.jit(model.init)({"params": jax.random.PRNGKey(args.seed)}, x)["params"]

@@ -26,7 +26,7 @@ from devias_tpu.cli.common import (
     run_train_loop,
     tiny_overrides,
 )
-from devias_tpu.core.dist import make_mesh
+from devias_tpu.core.dist import make_mesh, maybe_init_distributed
 from devias_tpu.data import build_dataset
 from devias_tpu.eval import final_test, merge_results, validation_one_epoch
 from devias_tpu.losses import cross_entropy, label_smoothing_cross_entropy
@@ -52,6 +52,8 @@ def get_args(argv=None):
 
 def main(args=None):
     args = args or get_args()
+    maybe_init_distributed()  # multi-host; MUST precede any backend use
+    # rank-offset seeding (ref run_slot_finetuning.py:261-265)
     np.random.seed(args.seed + jax.process_index())
     mesh = make_mesh()
     rank, world = jax.process_index(), jax.process_count()

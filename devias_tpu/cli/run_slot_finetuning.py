@@ -28,9 +28,10 @@ from devias_tpu.cli.common import (
     make_eval_loader,
     make_optim_config,
     make_train_loader,
+    run_train_loop,
     tiny_overrides,
 )
-from devias_tpu.core.dist import make_mesh
+from devias_tpu.core.dist import make_mesh, maybe_init_distributed
 from devias_tpu.data import build_dataset
 from devias_tpu.eval import final_test, hat_eval, merge_results, run_scuba, validation_one_epoch
 from devias_tpu.losses import SlotLossConfig
@@ -136,6 +137,8 @@ def init_params(args, model, teacher):
 
 def main(args=None):
     args = args or get_args()
+    maybe_init_distributed()  # multi-host; MUST precede any backend use
+    # rank-offset seeding (ref run_slot_finetuning.py:261-265)
     np.random.seed(args.seed + jax.process_index())
     mesh = make_mesh()
     rank, world = jax.process_index(), jax.process_count()
@@ -233,61 +236,43 @@ def main(args=None):
     )
 
     logger = JsonlLogger(args.output_dir)
-    best_acc = -1.0
-    best_scuba = -1.0
-    rng = jax.random.PRNGKey(args.seed)
-    for epoch in range(start_epoch, args.epochs):
-        loader_train.set_epoch(epoch)
-        t0 = time.time()
-        metrics = {}
-        for it, batch in enumerate(loader_train):
-            if it >= steps_per_epoch:
-                break
-            batch = {"videos": jnp.asarray(batch["videos"]),
-                     "labels": jnp.asarray(batch["labels"])}
-            state, batch = place_data_parallel(mesh, state, batch)
-            state, metrics = train_step(state, tparams, batch, rng)
-            if it % 50 == 0:
-                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                print(f"epoch {epoch} it {it}/{steps_per_epoch} " +
-                      " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())))
-                if not np.isfinite(m["loss"]):
-                    raise RuntimeError(f"Loss is {m['loss']}, stopping training")
-        params_ref[0] = state.params
-        epoch_time = time.time() - t0
+    best_scuba = [-1.0]
 
-        record = {"epoch": epoch, "train_time_s": round(epoch_time, 1)}
-        if metrics:
-            record.update({f"train_{k}": float(v) for k, v in jax.device_get(metrics).items()})
-        if not args.disable_eval_during_finetuning:
-            val = validation_one_epoch(loader_val, action_logits_fn, args.batch_size)
-            record.update({f"val_{k}": round(v, 3) for k, v in val.items()})
-            if val["acc1"] > best_acc and args.output_dir and args.save_ckpt and rank == 0:
-                best_acc = val["acc1"]
-                save_checkpoint(os.path.join(args.output_dir, "ckpt_best"), epoch, state)
-        if args.scuba_val:
-            # periodic SCUBA validation with scuba-best tracking
-            # (ref run_slot_finetuning.py:689-703)
-            try:
-                scuba = run_scuba(
-                    lambda variant: _make_scuba_loader(args, variant),
-                    action_logits_fn, args.batch_size,
-                    os.path.join(args.output_dir or ".", f"scuba_val_ep{epoch}"),
-                    num_tasks=world if args.dist_eval else 1, rank=rank,
-                )
-                mean_top1 = float(np.mean([v["acc1"] for v in scuba.values()])) if scuba else 0.0
-                record["scuba_val_top1"] = round(mean_top1, 3)
-                if mean_top1 > best_scuba and args.output_dir and args.save_ckpt and rank == 0:
-                    best_scuba = mean_top1
-                    save_checkpoint(os.path.join(args.output_dir, "ckpt_scuba_best"), epoch, state)
-            except FileNotFoundError as exc:
-                print(f"scuba_val skipped: {exc}")
-        if args.output_dir and args.save_ckpt and rank == 0 and (
-            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
-        ):
-            save_checkpoint(os.path.join(args.output_dir, "ckpt"), epoch, state)
-        logger.write(record)
-        print(record)
+    def validate(state):
+        params_ref[0] = state.params
+        return validation_one_epoch(loader_val, action_logits_fn, args.batch_size)
+
+    def on_epoch_end(state, epoch, record):
+        params_ref[0] = state.params
+        if not args.scuba_val:
+            return None
+        # periodic SCUBA validation with scuba-best tracking
+        # (ref run_slot_finetuning.py:689-703)
+        try:
+            scuba = run_scuba(
+                lambda variant: _make_scuba_loader(args, variant),
+                action_logits_fn, args.batch_size,
+                os.path.join(args.output_dir or ".", f"scuba_val_ep{epoch}"),
+                num_tasks=world if args.dist_eval else 1, rank=rank,
+            )
+            mean_top1 = float(np.mean([v["acc1"] for v in scuba.values()])) if scuba else 0.0
+            if mean_top1 > best_scuba[0] and args.output_dir and args.save_ckpt and rank == 0:
+                best_scuba[0] = mean_top1
+                save_checkpoint(os.path.join(args.output_dir, "ckpt_scuba_best"), epoch, state)
+            return {"scuba_val_top1": round(mean_top1, 3)}
+        except FileNotFoundError as exc:
+            print(f"scuba_val skipped: {exc}")
+            return None
+
+    state, _ = run_train_loop(
+        args, mesh, state, train_step, loader_train, steps_per_epoch,
+        extra_step_args=(tparams,),
+        validate=validate,
+        logger=logger,
+        start_epoch=start_epoch,
+        on_epoch_end=on_epoch_end,
+    )
+    params_ref[0] = state.params
 
     # final test + merge (ref run_slot_finetuning.py:715-726)
     ds_test, _ = build_dataset(False, True, make_data_config(args))

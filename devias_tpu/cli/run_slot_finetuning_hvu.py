@@ -24,7 +24,7 @@ from devias_tpu.cli.common import (
     run_train_loop,
     tiny_overrides,
 )
-from devias_tpu.core.dist import make_mesh
+from devias_tpu.core.dist import make_mesh, maybe_init_distributed
 from devias_tpu.data import build_dataset
 from devias_tpu.data.datasets import HVU_NUM_ACTION_CLASSES, HVU_NUM_SCENE_CLASSES
 from devias_tpu.losses import SlotLossConfig
@@ -100,6 +100,8 @@ def hvu_validation(loader, forward_fn, batch_size, num_action):
 
 def main(args=None):
     args = args or get_args()
+    maybe_init_distributed()  # multi-host; MUST precede any backend use
+    # rank-offset seeding (ref run_slot_finetuning.py:261-265)
     np.random.seed(args.seed + jax.process_index())
     mesh = make_mesh()
     rank, world = jax.process_index(), jax.process_count()

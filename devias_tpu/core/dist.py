@@ -25,17 +25,34 @@ MODEL_AXIS = "model"
 
 
 def maybe_init_distributed() -> None:
-    """Initialize multi-host JAX if launched under a known launcher.
+    """Initialize multi-host JAX when launched under a known launcher —
+    the counterpart of the reference's env-var/SLURM `init_distributed_mode`
+    called from every entry script (ref utils/utils.py:249-282,
+    run_slot_finetuning.py:259). Called from every CLI main.
 
+    Launch modes:
+      * DEVIAS_TPU_COORDINATOR=<host:port> + DEVIAS_TPU_NUM_PROCS +
+        DEVIAS_TPU_PROC_ID — explicit (the torchrun-env equivalent; also
+        what tests/test_multihost.py uses on CPU)
+      * DEVIAS_TPU_AUTO_DIST=1 — `jax.distributed.initialize()` auto-detect
+        (Cloud TPU pod slices / SLURM)
     Single-host (the common case, incl. tests) is a no-op; mirrors the
     reference's single-GPU fallback (utils/utils.py:261-265).
     """
-    if os.environ.get("DEVIAS_TPU_COORDINATOR"):
-        jax.distributed.initialize(
-            coordinator_address=os.environ["DEVIAS_TPU_COORDINATOR"],
-            num_processes=int(os.environ.get("DEVIAS_TPU_NUM_PROCS", "1")),
-            process_id=int(os.environ.get("DEVIAS_TPU_PROC_ID", "0")),
-        )
+    # NB: must run before any backend use; jax.process_count() here would
+    # itself materialize a single-process backend.
+    try:
+        if os.environ.get("DEVIAS_TPU_COORDINATOR"):
+            jax.distributed.initialize(
+                coordinator_address=os.environ["DEVIAS_TPU_COORDINATOR"],
+                num_processes=int(os.environ.get("DEVIAS_TPU_NUM_PROCS", "1")),
+                process_id=int(os.environ.get("DEVIAS_TPU_PROC_ID", "0")),
+            )
+        elif os.environ.get("DEVIAS_TPU_AUTO_DIST"):
+            jax.distributed.initialize()
+    except RuntimeError as exc:  # double init (e.g. repeated main() in tests)
+        if "already initialized" not in str(exc).lower():
+            raise
 
 
 def device_count() -> int:

@@ -149,20 +149,29 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     """Overlap host->device transfer with compute: keep `size` batches
     in flight on device ahead of the consumer (the reference relies on
     pinned-memory DataLoader + non_blocking copies for the same purpose,
-    ref engine_for_slot.py:98-99)."""
+    ref engine_for_slot.py:98-99).
+
+    Multi-host: each process's loader yields its per-host shard; the batch
+    is assembled into the global sharded array (the JAX equivalent of the
+    reference's DistributedSampler feeding DDP ranks)."""
     import collections
 
     import jax
+    import numpy as np
+
+    multiproc = jax.process_count() > 1 and sharding is not None
+
+    def put_leaf(x):
+        if not hasattr(x, "shape"):
+            return x
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x)
 
     def put(batch):
-        if sharding is not None:
-            return jax.tree.map(
-                lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
-                batch,
-            )
-        return jax.tree.map(
-            lambda x: jax.device_put(x) if hasattr(x, "shape") else x, batch
-        )
+        return jax.tree.map(put_leaf, batch)
 
     buf = collections.deque()
     for batch in iterator:
