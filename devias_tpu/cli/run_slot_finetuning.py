@@ -56,6 +56,18 @@ def get_args(argv=None):
     parser.add_argument("--agg_depth", default=8, type=int)
     parser.add_argument("--scene_model_path", default="", type=str)
     parser.add_argument("--mask_model", default="", choices=["FAME", "Segformer", ""], type=str)
+    parser.add_argument(
+        "--segformer_ckpt", default="", type=str,
+        help="local SegFormer-B3 checkpoint (HF snapshot dir / pytorch_model"
+             ".bin / model.safetensors) for --mask_model Segformer; the "
+             "reference pulls nvidia/segformer-b3-finetuned-cityscapes from "
+             "the hub (ref run_slot_finetuning.py:425), this environment "
+             "has no egress so the weights must be local",
+    )
+    parser.add_argument(
+        "--segformer_variant", default="b3", choices=["b0", "b3"], type=str,
+        help="SegFormer geometry; the reference uses b3 (b0 exists for tests)",
+    )
     parser.add_argument("--beta", type=float, default=0.5)
     parser.add_argument("--prob_aug", type=float, default=0.5)
     parser.add_argument("--mask_distill_loss_weight", type=float, default=1)
@@ -215,13 +227,28 @@ def main(args=None):
             state, start_epoch = restored, step + 1
             print(f"auto-resumed from epoch {step}")
 
+    segformer_apply = None
     if args.mask_model == "Segformer":
-        raise NotImplementedError(
-            "--mask_model Segformer needs the pretrained nvidia/segformer-b3 "
-            "human-segmentation weights (a CUDA/torch model in the reference, "
-            "ref run_slot_finetuning.py:423-427); this environment has no "
-            "network egress to fetch them. Use FAME (the published DEVIAS "
-            "recipe) or precompute masks offline."
+        # frozen SegFormer-B3 person-mask model (ref run_slot_finetuning.py:
+        # 423-427); weights must be a local HF checkpoint (no egress here).
+        if not args.segformer_ckpt:
+            raise SystemExit(
+                "--mask_model Segformer requires --segformer_ckpt pointing at "
+                "a local nvidia/segformer-b3-finetuned-cityscapes-1024-1024 "
+                "checkpoint (HF snapshot dir, pytorch_model.bin, or "
+                "model.safetensors). Use FAME (the published DEVIAS recipe) "
+                "if no weights are available."
+            )
+        from devias_tpu.ckpt.segformer_import import import_segformer_params
+        from devias_tpu.nn.segformer import Segformer, segformer_b0, segformer_b3
+
+        seg_cfg = {"b0": segformer_b0, "b3": segformer_b3}[args.segformer_variant]()
+        seg_model = Segformer(seg_cfg, dtype=jnp.bfloat16)
+        seg_params = jax.tree.map(
+            jnp.asarray, import_segformer_params(args.segformer_ckpt, seg_cfg)
+        )
+        segformer_apply = lambda frames: seg_model.apply(
+            {"params": seg_params}, frames
         )
     step_cfg = TrainStepConfig(
         update_freq=args.update_freq,
@@ -231,7 +258,10 @@ def main(args=None):
         device_normalize=args.device_normalize,
     )
     train_step = jax.jit(
-        make_slot_train_step(model, teacher, tx, loss_cfg, step_cfg, lr_fn),
+        make_slot_train_step(
+            model, teacher, tx, loss_cfg, step_cfg, lr_fn,
+            segformer_apply=segformer_apply,
+        ),
         donate_argnums=(0,),
     )
 

@@ -80,12 +80,17 @@ def make_slot_train_step(
     loss_cfg: SlotLossConfig,
     step_cfg: TrainStepConfig = TrainStepConfig(),
     lr_fn: Optional[Callable] = None,
+    segformer_apply: Optional[Callable] = None,
 ):
     """DEVIAS slot training step (ref engine/engine_for_slot.py:50-169).
 
     fn(state, teacher_params, batch, rng) -> (state, metrics)
     batch: {'videos': [B,T,H,W,C] normalized, 'labels': [B]}
     B = update_freq * microbatch; microbatches are scanned for grad accum.
+
+    segformer_apply: optional frozen mask model, [N,H,W,3] -> quarter-res
+    logits; selects the reference's '--mask_model Segformer' branch
+    (ref engine_for_slot.py:108-118) instead of FAME.
     """
     U = step_cfg.update_freq
 
@@ -93,7 +98,27 @@ def make_slot_train_step(
         fame_rng, drop_rng, dp_rng = jax.random.split(rng, 3)
         if step_cfg.device_normalize:
             videos = videos.astype(jnp.float32) / 255.0
-        if step_cfg.use_fame:
+        if segformer_apply is not None:
+            from devias_tpu.aug.fame import IMAGENET_MEAN, IMAGENET_STD
+            from devias_tpu.aug.segformer_mix import (
+                segformer_frame_masks,
+                segformer_mix_sample,
+            )
+
+            if step_cfg.device_normalize:
+                # the reference feeds the video-normalized tensor to the
+                # mask model (engine_for_slot.py:112); under the unit-range
+                # pipeline we normalize just the sampled frames to match.
+                mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+                std = jnp.asarray(IMAGENET_STD, jnp.float32)
+                seg_in = (videos - mean) / std
+            else:
+                seg_in = videos
+            masks = segformer_frame_masks(segformer_apply, seg_in)
+            videos, labels, (fg_mask, fg_pf) = segformer_mix_sample(
+                fame_rng, masks, videos, labels, step_cfg.fame.prob_aug
+            )
+        elif step_cfg.use_fame:
             fame_stats = (
                 ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))  # inputs already in [0,1]
                 if step_cfg.device_normalize

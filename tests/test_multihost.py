@@ -36,6 +36,8 @@ def test_two_process_rehearsal(tmp_path):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if not k.startswith("DEVIAS_TPU_")}
     env.pop("XLA_FLAGS", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(i), "2", str(port), str(tmp_path)],
