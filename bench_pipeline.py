@@ -1,0 +1,191 @@
+"""End-to-end input-pipeline benchmark: decode -> host augment -> transfer
+-> train step, on real encoded mp4s (VERDICT r1 item 8).
+
+Measures three rates and prints ONE JSON line:
+
+  host_clips_per_sec    — decode + sample + RandAugment/crop/flip alone
+                          (loader iterated, nothing sent to the device)
+  device_clips_per_sec  — the jitted train step on a preloaded batch
+                          (same figure bench.py reports)
+  e2e_clips_per_sec     — loader + device_prefetch + train step overlapped,
+                          i.e. what a real training run sustains
+
+The reference pipeline is decord + PIL/torchvision on many dataloader
+workers (ref dataset/kinetics.py, engine_for_slot.py:98-99 non_blocking
+copies); here it is the C++ FFmpeg core + the cv2/numpy fast path + an
+async host->device prefetcher. This container exposes ONE CPU core, so
+host_clips_per_sec is a 1-worker floor — production hosts have dozens of
+cores and the host path parallelizes per-sample (DataLoader threads).
+
+Usage: python bench_pipeline.py [--batches N] [--batch_size B] [--input 224]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_videos(root: str, n: int = 12, w: int = 320, h: int = 256, frames: int = 90):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        name = f"clip{i}.mp4"
+        vw = cv2.VideoWriter(
+            os.path.join(root, name), cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h)
+        )
+        base = rng.integers(0, 220, (h, w, 3), np.uint8)
+        for t in range(frames):
+            f = base.copy()
+            x = (t * 3 + i * 17) % (w - 60)
+            f[h // 4 : h // 2, x : x + 40] = 255
+            vw.write(f)
+        vw.release()
+        rows.append(f"{name} {i % 4}")
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=6)
+    ap.add_argument("--batch_size", type=int, default=12)
+    ap.add_argument("--input", type=int, default=224)
+    ap.add_argument("--num_workers", type=int, default=max(os.cpu_count() or 1, 1))
+    ap.add_argument("--device_normalize", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+
+    from devias_tpu.aug.fame import FAMEConfig
+    from devias_tpu.data.datasets import DataConfig, build_dataset
+    from devias_tpu.data.loader import DataLoader, device_prefetch
+    from devias_tpu.losses import SlotLossConfig
+    from devias_tpu.nn import create_model
+    from devias_tpu.train import (
+        OptimConfig, TrainState, TrainStepConfig, make_optimizer,
+        make_slot_train_step,
+    )
+
+    B = args.batch_size
+    n_clips = args.batches * B
+
+    with tempfile.TemporaryDirectory() as root:
+        rows = make_videos(root)
+        anno = os.path.join(root, "train.csv")
+        with open(anno, "w") as f:
+            f.write("\n".join(rows))
+
+        cfg = DataConfig(
+            data_set="UCF101", anno_path=anno, data_prefix=root,
+            num_frames=16, sampling_rate=4, input_size=args.input,
+            short_side_size=args.input, nb_classes=4,
+            host_normalize=not args.device_normalize,
+        )
+        ds, _ = build_dataset(True, False, cfg)
+
+        def fresh_loader():
+            return DataLoader(
+                ds, batch_size=B, shuffle=True, drop_last=True,
+                num_workers=args.num_workers, prefetch=4,
+            )
+
+        # --- host-only rate (decode + augment, nothing device-side) ---
+        it = iter(fresh_loader())
+        next(it)  # warm caches (file index, first decode)
+        t0 = time.perf_counter()
+        seen = 0
+        while seen < n_clips:
+            b = next(it)
+            seen += b["videos"].shape[0]
+        host_dt = time.perf_counter() - t0
+        host_rate = n_clips / host_dt
+
+        # --- model + step (flagship geometry) ---
+        model = create_model(
+            "slot_vit_base_patch16_224", num_classes=4, num_scene_classes=365,
+            num_latents=2, agg_depth=8, agg_weights_tie=True,
+            dtype=jnp.bfloat16, fused_attention=True,
+            input_norm=args.device_normalize,
+        )
+        teacher = create_model(
+            "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,
+            dtype=jnp.bfloat16, fused_attention=True,
+            input_norm=args.device_normalize,
+        )
+        x0 = jnp.zeros((B, 16, args.input, args.input, 3), jnp.float32)
+        params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x0)["params"]
+        tparams = jax.jit(teacher.init)({"params": jax.random.PRNGKey(1)}, x0)["params"]
+        tx, lr_fn = make_optimizer(params, OptimConfig(lr=5e-4, total_steps=1000, warmup_steps=10))
+        state = TrainState.create(params, tx)
+        step = jax.jit(
+            make_slot_train_step(
+                model, teacher, tx,
+                SlotLossConfig(num_action_classes=4, num_scene_classes=365),
+                TrainStepConfig(
+                    use_fame=True, fame=FAMEConfig(beta=0.5, prob_aug=0.8),
+                    device_normalize=args.device_normalize,
+                ),
+                lr_fn,
+            ),
+            donate_argnums=(0,),
+        )
+
+        # --- device-only rate (preloaded synthetic batch) ---
+        rng = np.random.default_rng(0)
+        if args.device_normalize:
+            vids = rng.integers(0, 255, size=(B, 16, args.input, args.input, 3)).astype(np.uint8)
+        else:
+            vids = rng.normal(size=(B, 16, args.input, args.input, 3)).astype(np.float32)
+        pre = {"videos": jnp.asarray(vids), "labels": jnp.asarray(rng.integers(0, 4, size=B))}
+        for _ in range(3):
+            state, metrics = step(state, tparams, pre, jax.random.PRNGKey(0))
+        jax.device_get(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.batches):
+            state, metrics = step(state, tparams, pre, jax.random.PRNGKey(0))
+        jax.device_get(metrics["loss"])
+        dev_rate = n_clips / (time.perf_counter() - t0)
+
+        # --- end-to-end: loader -> prefetch -> step ---
+        it = device_prefetch(iter(fresh_loader()), size=2)
+        first = next(it)  # exclude first-decode warmup from the timed window
+        state, metrics = step(state, tparams, first, jax.random.PRNGKey(0))
+        t0 = time.perf_counter()
+        n_e2e = 0
+        for batch in it:
+            state, metrics = step(state, tparams, batch, jax.random.PRNGKey(0))
+            n_e2e += B
+            if n_e2e >= n_clips:
+                break
+        jax.device_get(metrics["loss"])
+        e2e_rate = n_e2e / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "devias_pipeline_throughput",
+                "value": round(e2e_rate, 2),
+                "unit": "clips/sec/chip",
+                "host_clips_per_sec": round(host_rate, 2),
+                "device_clips_per_sec": round(dev_rate, 2),
+                "e2e_clips_per_sec": round(e2e_rate, 2),
+                "num_workers": args.num_workers,
+                "host_cores": os.cpu_count(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

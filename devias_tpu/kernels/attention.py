@@ -60,7 +60,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                dk_acc, dv_acc, *, scale: float):
+                dk_acc, dv_acc, *, scale: float, q_axis: int = 1):
     # Recomputes e from q/K (cheaper than spilling P to HBM), then applies
     # the flash-attention identities that keep every extra elementwise pass
     # on [bq, d] instead of [bq, n]:
@@ -68,9 +68,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref,
     #   t  = e * (dP - D)            => dS = t * inv_l (row scale, deferred)
     #   dq = (t @ K) * (inv_l * scale)           (row scale on [bq, d])
     #   dk += t^T @ (q * inv_l * scale)          (row scale on [bq, d])
-    #   dv += (e * inv_l)^T @ dO
-    iq = pl.program_id(1)
-    nq = pl.num_programs(1)
+    #   dv += e^T @ (dO * inv_l)                 (row scale on [bq, d];
+    #         avoids materializing P = e * inv_l as an extra [bq, n] pass)
+    iq = pl.program_id(q_axis)
+    nq = pl.num_programs(q_axis)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -90,7 +91,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref,
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, n]
     t = (e * (dp - d_row)).astype(q.dtype)  # [bq, n]
-    p = (e * inv_l).astype(q.dtype)  # [bq, n]
+    e_b = e.astype(q.dtype)  # [bq, n] (the only other full-width pass)
 
     dq_ref[0] = (
         jnp.dot(t, k, preferred_element_type=jnp.float32) * (inv_l * scale)
@@ -101,7 +102,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref,
         preferred_element_type=jnp.float32,
     )  # [n, d]
     dv_contrib = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        e_b, (do * inv_l).astype(q.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [n, d]
 
     # accumulate in VMEM scratch (one HBM write at the end instead of a
@@ -145,7 +147,9 @@ def _fwd_call(q, k, v, scale: float, block_q: Optional[int], interpret: bool):
 
 def _bwd_call(q, k, v, o, do, scale: float, block_q: Optional[int], interpret: bool):
     BH, N, D = q.shape
-    bq = block_q or _pick_block(N)
+    # wide q blocks win in the backward too (5.52 vs 5.95 ms/layer at 224
+    # on v5e, batch 12): fewer grid steps amortize the K/V residency
+    bq = block_q or _pick_block(N, preferred=784)
     grid = (BH, N // bq)
     # accumulated dk/dv in f32 to keep the cross-block sum accurate
     dq, dk, dv = pl.pallas_call(
@@ -181,6 +185,196 @@ def _bwd_call(q, k, v, o, do, scale: float, block_q: Optional[int], interpret: b
         ),
     )(q, k, v, o, do)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, *, scale: float, D: int):
+    """Forward over `hpb` heads laid side by side in the minor dim
+    (block width hpb*D so the lane dimension stays 128-aligned)."""
+    hpb = q_ref.shape[-1] // D
+    q = q_ref[0] * scale
+    for h in range(hpb):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = e.sum(axis=-1, keepdims=True)
+        o = jnp.dot(e.astype(v_ref.dtype), v_ref[0, :, sl], preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def _bwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                   dk_acc, dv_acc, *, scale: float, D: int):
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+    hpb = q_ref.shape[-1] // D
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    for h in range(hpb):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        inv_l = 1.0 / e.sum(axis=-1, keepdims=True)
+        d_row = jnp.sum(
+            do.astype(jnp.float32) * o_ref[0, :, sl].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        t = (e * (dp - d_row)).astype(q.dtype)
+        e_b = e.astype(q.dtype)
+        dq_ref[0, :, sl] = (
+            jnp.dot(t, k, preferred_element_type=jnp.float32) * (inv_l * scale)
+        ).astype(dq_ref.dtype)
+        dk_acc[:, sl] += jax.lax.dot_general(
+            t, (q * (inv_l * scale)).astype(q.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv_acc[:, sl] += jax.lax.dot_general(
+            e_b, (do * inv_l).astype(q.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _heads_per_block(H: int, D: int) -> int:
+    """Fewest side-by-side heads making the block lane dim 128-aligned."""
+    hpb = 1
+    while (hpb * D) % 128 != 0 and hpb < H:
+        hpb += 1
+    if (hpb * D) % 128 != 0 or H % hpb != 0:
+        raise ValueError(f"cannot tile heads: H={H}, D={D}")
+    return hpb
+
+
+def _fwd_call_qkv(qkv, H: int, scale: float, block_q: Optional[int], interpret: bool):
+    """Attention directly on the fused projection output.
+
+    qkv: [B, N, 3*H*D] (the qkv Dense output, q|k|v each H*D wide)
+    returns o: [B, N, H*D]
+
+    The per-(head, component) D-slices are contiguous in the minor dim, so
+    BlockSpec index maps address them as blocks of width hpb*D — q/k/v are
+    never transposed into [B, H, N, D] form. This retires the
+    head-split/merge layout copies that dominated the profile (~20 ms/step
+    at batch 12: [12,12,1568,64] and [12,N,2304] copies around every
+    attention call).
+    """
+    B, N, W3 = qkv.shape
+    D = W3 // (3 * H)
+    hpb = 1 if interpret else _heads_per_block(H, D)
+    G = H // hpb  # head-group blocks per component
+    bq = block_q or _pick_block(N, preferred=784)
+    grid = (B, G, N // bq)
+    W = hpb * D
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_mh, scale=scale, D=D),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, W), lambda b, h, i, G=G: (b, 0, G + h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, W), lambda b, h, i, G=G: (b, 0, 2 * G + h), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, H * D), qkv.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * N * N * D, bytes_accessed=4 * B * N * H * D * 2,
+            transcendentals=B * H * N * N,
+        ),
+    )(qkv, qkv, qkv)
+
+
+def _bwd_call_qkv(qkv, o, do, H: int, scale: float, block_q: Optional[int],
+                  interpret: bool):
+    """Backward for the qkv-fused layout. Returns dqkv [B, N, 3*H*D]."""
+    B, N, W3 = qkv.shape
+    D = W3 // (3 * H)
+    hpb = 1 if interpret else _heads_per_block(H, D)
+    G = H // hpb
+    bq = block_q or _pick_block(N, preferred=784)
+    grid = (B, G, N // bq)
+    W = hpb * D
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_mh, scale=scale, D=D),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, W), lambda b, h, i, G=G: (b, 0, G + h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, W), lambda b, h, i, G=G: (b, 0, 2 * G + h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, W), lambda b, h, i: (b, 0, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, W), lambda b, h, i: (b, 0, h), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, H * D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, N, H * D), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, H * D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, W), jnp.float32),
+            pltpu.VMEM((N, W), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * N * N * D, bytes_accessed=8 * B * N * H * D * 2,
+            transcendentals=B * H * N * N,
+        ),
+    )(qkv, qkv, qkv, o, do)
+    # dqkv in the Dense layout; the casts fuse into the concat write
+    return jnp.concatenate([dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_attention_qkv(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    block_q: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Softmax attention taking the fused qkv projection [B, N, 3*H*D]
+    (q|k|v contiguous) and returning [B, N, H*D] — both in the layouts the
+    surrounding Dense layers produce/consume, so no transposes enter the
+    graph in either direction."""
+    return _fwd_call_qkv(qkv, num_heads, scale, block_q, interpret)
+
+
+def _fa_qkv_fwd(qkv, num_heads, scale, block_q, interpret):
+    out = fused_attention_qkv(qkv, num_heads, scale, block_q, interpret)
+    return out, (qkv, out)
+
+
+def _fa_qkv_bwd(num_heads, scale, block_q, interpret, res, g):
+    qkv, o = res
+    return (_bwd_call_qkv(qkv, o, g, num_heads, scale, block_q, interpret),)
+
+
+fused_attention_qkv.defvjp(_fa_qkv_fwd, _fa_qkv_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -56,6 +56,62 @@ def drop_path(
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf).mean(-1, keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return y.astype(x.dtype)
+
+
+def _layer_norm_fwd(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf).mean(-1, keepdims=True) - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * inv * scale + bias
+    return y.astype(x.dtype), (x, mean, inv, scale)
+
+
+def _layer_norm_bwd(eps, res, dy):
+    x, mean, inv, scale = res
+    xhat = (x.astype(jnp.float32) - mean) * inv
+    dyf = dy.astype(jnp.float32)
+    t = dyf * scale
+    m1 = t.mean(-1, keepdims=True)
+    m2 = (t * xhat).mean(-1, keepdims=True)
+    dx = (inv * (t - m1 - xhat * m2)).astype(x.dtype)
+    red = tuple(range(dy.ndim - 1))
+    return dx, (dyf * xhat).sum(red), dyf.sum(red)
+
+
+_layer_norm.defvjp(_layer_norm_fwd, _layer_norm_bwd)
+
+
+class FastLayerNorm(nn.Module):
+    """LayerNorm with f32 statistics but low-precision residuals.
+
+    Same math as nn.LayerNorm (fast-variance form, f32 stats) and the same
+    param names/shapes, but the custom VJP saves only the bf16 activations
+    plus the tiny f32 (mean, rsqrt) rows. flax's LayerNorm promotes x to f32
+    and autodiff then saves the full f32 activation tensor to HBM — at
+    [12,1568,768] x 24 norms that materialization dominated the train-step
+    profile (~1.4 ms per norm per step on v5e)."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return _layer_norm(x.astype(self.dtype), scale, bias, self.epsilon)
+
+
 class Mlp(nn.Module):
     """Transformer MLP: fc1 -> GELU -> fc2 -> dropout
     (ref: model/modeling_slot.py:50-67 — note the reference drops only after
@@ -108,21 +164,19 @@ class Attention(nn.Module):
             bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
             qkv = qkv + bias.astype(self.dtype)
 
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
-
         if self.fused and not return_attn and self.attn_drop == 0.0:
-            from devias_tpu.kernels.attention import fused_attention
+            from devias_tpu.kernels.attention import fused_attention_qkv
 
-            out = fused_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                scale,
-                None,
-                self.fused_interpret,
-            ).transpose(0, 2, 1, 3).reshape(B, N, C)
+            # the kernel indexes head/component slices of the fused [B, N,
+            # 3C] projection directly and emits [B, N, C] — no head
+            # split/merge transposes in fwd or bwd (they cost ~20 ms/step
+            # at batch 12 as XLA layout copies)
+            out = fused_attention_qkv(
+                qkv, self.num_heads, scale, None, self.fused_interpret
+            )
         else:
+            qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, d]
             attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
@@ -157,7 +211,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         C = x.shape[-1]
-        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        y = FastLayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
         y = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
@@ -177,7 +231,7 @@ class Block(nn.Module):
         rng = None if deterministic else self.make_rng("drop_path")
         x = x + drop_path(y, self.drop_path_rate, deterministic, rng)
 
-        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        y = FastLayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
         y = Mlp(
             hidden_dim=int(C * self.mlp_ratio),
             out_dim=C,
@@ -333,5 +387,5 @@ class VideoViT(nn.Module):
                 name=f"blocks_{i}",
             )(x, deterministic)
         if self.final_norm:
-            x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
+            x = FastLayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
         return x

@@ -48,6 +48,22 @@ def _global_norm(tree) -> jnp.ndarray:
     )
 
 
+def _apply_optimizer(tx, state: TrainState, grads):
+    """Apply the optimizer and return (new_state, grad_norm). Uses the
+    FusedAdamW single-pass path (params/moments/grad-norm in one kernel per
+    leaf) when available; falls back to the generic optax protocol (and the
+    separate norm pass) for chains or when EMA tracking needs apply_updates."""
+    fused = getattr(tx, "fused_apply", None)
+    if fused is not None and state.ema_params is None:
+        new_params, new_opt, gsq = fused(state.params, grads, state.opt_state)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+        return new_state, jnp.sqrt(gsq)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    return state.replace(opt_state=new_opt).apply_updates(updates), _global_norm(grads)
+
+
 def _shard_local_fame(rng, videos, labels, fame_cfg: FAMEConfig, n_shards: int,
                       mean=None, std=None):
     """Run FAME independently per data shard so the donor gather stays
@@ -192,10 +208,9 @@ def make_slot_train_step(
             grads = jax.tree.map(lambda g: g / U, grads)
             metrics = jax.tree.map(lambda m: m / U, metrics)
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_state = state.replace(opt_state=new_opt).apply_updates(updates)
+        new_state, grad_norm = _apply_optimizer(tx, state, grads)
         metrics = dict(metrics)
-        metrics["grad_norm"] = _global_norm(grads)
+        metrics["grad_norm"] = grad_norm
         if lr_fn is not None:
             metrics["lr"] = lr_fn(state.step)
         return new_state, metrics
@@ -270,10 +285,9 @@ def make_hvu_train_step(
             grads = jax.tree.map(lambda g: g / U, grads)
             metrics = jax.tree.map(lambda m: m / U, metrics)
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_state = state.replace(opt_state=new_opt).apply_updates(updates)
+        new_state, grad_norm = _apply_optimizer(tx, state, grads)
         metrics = dict(metrics)
-        metrics["grad_norm"] = _global_norm(grads)
+        metrics["grad_norm"] = grad_norm
         if lr_fn is not None:
             metrics["lr"] = lr_fn(state.step)
         return new_state, metrics
@@ -338,10 +352,9 @@ def make_classification_train_step(
             grads = jax.tree.map(lambda g: g / U, grads)
             metrics = jax.tree.map(lambda m: m / U, metrics)
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_state = state.replace(opt_state=new_opt).apply_updates(updates)
+        new_state, grad_norm = _apply_optimizer(tx, state, grads)
         metrics = dict(metrics)
-        metrics["grad_norm"] = _global_norm(grads)
+        metrics["grad_norm"] = grad_norm
         if lr_fn is not None:
             metrics["lr"] = lr_fn(state.step)
         return new_state, metrics

@@ -30,6 +30,18 @@ import types
 REFERENCE_PATH = "/root/reference"
 
 
+def _shim_spec(*modules):
+    """Give shim modules a real ModuleSpec so importlib.util.find_spec
+    probes by other libraries (e.g. transformers' is_timm_available /
+    is_torchvision_available) don't raise on __spec__ = None."""
+    import importlib.machinery
+
+    for m in modules:
+        m.__spec__ = importlib.machinery.ModuleSpec(m.__name__, loader=None)
+        if not hasattr(m, "__version__"):
+            m.__version__ = "0.0.devias-shim"
+
+
 def _install_timm():
     if "timm" in sys.modules:
         return
@@ -68,6 +80,7 @@ def _install_timm():
     models.layers = layers
     models.registry = registry
     timm.models = models
+    _shim_spec(timm, models, layers, registry)
     sys.modules.update(
         {
             "timm": timm,
@@ -148,6 +161,7 @@ def _install_kornia():
     kornia.filters = filters
     kornia.color = color
     kornia.augmentation = augmentation
+    _shim_spec(kornia, filters, color, augmentation, container)
     sys.modules.update(
         {
             "kornia": kornia,
@@ -174,6 +188,7 @@ def _install_torchvision():
     datasets.video_utils = video_utils
     tv.transforms = transforms
     tv.datasets = datasets
+    _shim_spec(tv, transforms, datasets, video_utils)
     sys.modules.update(
         {
             "torchvision": tv,

@@ -168,3 +168,31 @@ def test_slot_model_fused_agg_matches_pure():
         np.asarray(out_fused["attn"]), np.asarray(out_pure["attn"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("N", [32, 9])  # 9: odd token count (CLS), teacher case
+def test_fused_attention_qkv_matches_reference(N):
+    """The transpose-free qkv-fused entry point: fwd and bwd vs pure einsum."""
+    from devias_tpu.kernels.attention import fused_attention_qkv
+
+    B, H, D = 2, 3, 8
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * H * D)), jnp.float32)
+    scale = D**-0.5
+    cot = jnp.asarray(rng.normal(size=(B, N, H * D)), jnp.float32)
+
+    def ref(qkv):
+        q, k, v = [
+            qkv[..., i * H * D : (i + 1) * H * D].reshape(B, N, H, D)
+            for i in range(3)
+        ]
+        s = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", p, v).reshape(B, N, H * D)
+
+    out = fused_attention_qkv(qkv, H, scale, None, True)  # interpret
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(qkv)), rtol=2e-5, atol=2e-5)
+
+    g = jax.grad(lambda x: (fused_attention_qkv(x, H, scale, None, True) * cot).sum())(qkv)
+    g_ref = jax.grad(lambda x: (ref(x) * cot).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-4)
