@@ -95,13 +95,22 @@ def main():
         ds, _ = build_dataset(True, False, cfg)
 
         def fresh_loader():
-            return DataLoader(
+            loader = DataLoader(
                 ds, batch_size=B, shuffle=True, drop_last=True,
                 num_workers=args.num_workers, prefetch=4,
             )
 
+            def forever():
+                epoch = 0
+                while True:
+                    loader.set_epoch(epoch)
+                    yield from loader
+                    epoch += 1
+
+            return forever()
+
         # --- host-only rate (decode + augment, nothing device-side) ---
-        it = iter(fresh_loader())
+        it = fresh_loader()
         next(it)  # warm caches (file index, first decode)
         t0 = time.perf_counter()
         seen = 0
@@ -158,7 +167,7 @@ def main():
         dev_rate = n_clips / (time.perf_counter() - t0)
 
         # --- end-to-end: loader -> prefetch -> step ---
-        it = device_prefetch(iter(fresh_loader()), size=2)
+        it = device_prefetch(fresh_loader(), size=2)
         first = next(it)  # exclude first-decode warmup from the timed window
         state, metrics = step(state, tparams, first, jax.random.PRNGKey(0))
         t0 = time.perf_counter()
