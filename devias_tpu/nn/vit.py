@@ -59,19 +59,44 @@ def drop_path(
 import functools as _functools
 
 
+def _row_means(*terms):
+    """Per-row means over the feature (minor/lane) dim via an MXU dot.
+
+    VPU cross-lane reductions over the minor dim are the slow path on TPU:
+    XLA output-fuses them into the producer matmul and stalls it ~3x
+    (profiled: fc2 [12,1568,3072]x[3072,768] alone 0.48 ms, fused with the
+    following LayerNorm's mean/var rows 1.43 ms). A dot against a constant
+    runs the same reduction on the MXU instead. The RHS is 128 lanes wide
+    (col 0 = 1/C, rest zero): XLA canonicalizes a [C,1] dot straight back
+    into the VPU reduce (verified: bit-identical executable), but leaves a
+    [C,128] dot on the MXU — 128x redundant math that is still ~20x faster
+    than the fused cross-lane reduction. Each term is [..., C]; returns one
+    [..., 1] mean per term."""
+    C = terms[0].shape[-1]
+    w = jnp.zeros((C, 128), jnp.float32).at[:, 0].set(1.0 / C)
+    nd = terms[0].ndim
+    return tuple(
+        jax.lax.dot_general(
+            t, w, (((nd - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., :1]
+        for t in terms
+    )
+
+
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _layer_norm(x, scale, bias, eps):
     xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = jnp.square(xf).mean(-1, keepdims=True) - jnp.square(mean)
+    mean, meansq = _row_means(xf, jnp.square(xf))
+    var = meansq - jnp.square(mean)
     y = (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
     return y.astype(x.dtype)
 
 
 def _layer_norm_fwd(x, scale, bias, eps):
     xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = jnp.square(xf).mean(-1, keepdims=True) - jnp.square(mean)
+    mean, meansq = _row_means(xf, jnp.square(xf))
+    var = meansq - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)
     y = (xf - mean) * inv * scale + bias
     return y.astype(x.dtype), (x, mean, inv, scale)
@@ -82,8 +107,7 @@ def _layer_norm_bwd(eps, res, dy):
     xhat = (x.astype(jnp.float32) - mean) * inv
     dyf = dy.astype(jnp.float32)
     t = dyf * scale
-    m1 = t.mean(-1, keepdims=True)
-    m2 = (t * xhat).mean(-1, keepdims=True)
+    m1, m2 = _row_means(t, t * xhat)
     dx = (inv * (t - m1 - xhat * m2)).astype(x.dtype)
     red = tuple(range(dy.ndim - 1))
     return dx, (dyf * xhat).sum(red), dyf.sum(red)
@@ -125,7 +149,12 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc02, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        # exact erf GELU in f32 (torch-parity tests run f32); tanh form in
+        # the bf16 compute path — XLA's erf lowering costs ~35 ms/step at
+        # batch 12 (20% of the whole train step), while the tanh form
+        # differs by at most 4.7e-4 absolute (measured over [-12, 12]),
+        # an order of magnitude below bf16 resolution at unit scale
+        x = nn.gelu(x, approximate=(self.dtype == jnp.bfloat16))
         x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=trunc02, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
