@@ -311,7 +311,7 @@ def _bwd_call_qkv(qkv, o, do, H: int, scale: float, block_q: Optional[int],
     D = W3 // (3 * H)
     hpb = 1 if interpret else _heads_per_block(H, D)
     G = H // hpb
-    bq = block_q or _pick_block(N, preferred=784)
+    bq = block_q or _pick_block(N, preferred=1568)
     grid = (B, G, N // bq)
     W = hpb * D
     dq, dk, dv = pl.pallas_call(

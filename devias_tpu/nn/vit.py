@@ -300,9 +300,6 @@ class PatchEmbed3D(nn.Module):
         if H % p or W % p or T % tb:
             raise ValueError(f"input {x.shape} not divisible by patch {tb}x{p}x{p}")
         t, h, w = T // tb, H // p, W // p
-        x = x.reshape(B, t, tb, h, p, w, p, C)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [B, t, h, w, tb, p, p, C]
-        x = x.reshape(B, t * h * w, tb * p * p * C)
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -310,7 +307,14 @@ class PatchEmbed3D(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32)
-        x = jnp.dot(x, kernel.astype(self.dtype)) + bias.astype(self.dtype)
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.reshape(tb, p, p, C, self.embed_dim).astype(self.dtype),
+            window_strides=(tb, p, p),
+            padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        x = x.reshape(B, t * h * w, self.embed_dim) + bias.astype(self.dtype)
         return x
 
 
