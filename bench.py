@@ -29,6 +29,13 @@ import numpy as np
 A100_CLIPS_PER_SEC_ESTIMATE = 50.0
 BATCH = 12  # reference per-GPU batch (docs/TRAIN.md:20)
 
+# Model FLOPs per clip for MFU reporting: student ViT-B fwd at 1568 tokens
+# = 12 x (24*N*d^2 + 4*N^2*d) + patch embed ~= 0.361 TF; backward ~= 2x fwd;
+# frozen teacher fwd (1569 tokens) ~= 0.361 TF; agg block (8 tied rounds,
+# 4x512 heads over 1568 keys) + heads + FAME + loss ~= 0.02 TF.
+FLOPS_PER_CLIP = 3 * 0.361e12 + 0.361e12 + 0.02e12  # ~1.464 TF
+V5E_PEAK_FLOPS = 197e12  # bf16
+
 
 def main():
     from devias_tpu.aug.fame import FAMEConfig
@@ -99,6 +106,8 @@ def main():
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(clips_per_sec / A100_CLIPS_PER_SEC_ESTIMATE, 3),
+                "ms_per_step": round(dt / n_steps * 1000, 1),
+                "mfu": round(clips_per_sec * FLOPS_PER_CLIP / V5E_PEAK_FLOPS, 3),
             }
         )
     )
