@@ -128,3 +128,54 @@ def shard_params_tp(params, mesh: Mesh):
         return jax.device_put(leaf, NamedSharding(mesh, tp_param_spec(path, leaf)))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+SEQ_AXIS = "seq"
+
+
+def make_sp_mesh(
+    seq_parallel: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """A (data, seq) mesh for sequence-parallel backbone runs: batch over
+    `data`, the token/frame axis over `seq` (capability beyond the
+    reference, which is DP-only — SURVEY §2.8; pays once clips get longer
+    or resolution grows past one chip's comfort at the fixed 1568 tokens)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % seq_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by seq_parallel={seq_parallel}")
+    arr = np.array(devices).reshape(n // seq_parallel, seq_parallel)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+
+
+def seq_parallel_tokens(backbone, params, videos, mesh: Mesh,
+                        deterministic: bool = True):
+    """Run a VideoViT backbone sequence-parallel over `mesh`'s seq axis.
+
+    `backbone` must be constructed with `seq_axis=SEQ_AXIS` and
+    `seq_shards=mesh.shape[SEQ_AXIS]`. The video's FRAME axis is sharded
+    (token order (t, h, w) makes frame shards contiguous token shards);
+    every shard runs patch embed / LN / MLP on its local tokens and
+    attention gathers K/V over the axis (`nn/vit.py:Attention.seq_axis`).
+    Differentiable end to end: the K/V gather's transpose is the dK/dV
+    reduce-scatter. Returns the full token tensor [B, N, D] (sharded over
+    seq on the mesh). Batch is additionally sharded over the data axis.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    T = videos.shape[1]
+    s = mesh.shape[SEQ_AXIS]
+    tb = backbone.tubelet_size
+    if T % (s * tb) != 0:
+        raise ValueError(
+            f"frames {T} not divisible by seq shards {s} x tubelet {tb}"
+        )
+    fn = shard_map(
+        lambda p, v: backbone.apply({"params": p}, v, deterministic),
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, SEQ_AXIS)),
+        out_specs=P(DATA_AXIS, SEQ_AXIS),
+        check_rep=False,
+    )
+    return fn(params, videos)

@@ -417,3 +417,119 @@ def _fa_bwd(scale, block_q, interpret, res, g):
 
 
 fused_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def _fwd_call_q_kv(q, kv, H: int, scale: float, block_q: Optional[int],
+                   interpret: bool):
+    """Cross-shard attention: local queries against gathered K/V.
+
+    q: [B, Nq, H*D] (this shard's query rows), kv: [B, Nk, 2*H*D]
+    (k|v contiguous, typically all_gather'd over a sequence-parallel axis).
+    Returns o: [B, Nq, H*D]. Same kernel bodies as the fused-qkv entry.
+    """
+    B, Nq, WHD = q.shape
+    D = WHD // H
+    Nk = kv.shape[1]
+    hpb = 1 if interpret else _heads_per_block(H, D)
+    G = H // hpb
+    bq = block_q or _pick_block(Nq, preferred=784)
+    grid = (B, G, Nq // bq)
+    W = hpb * D
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_mh, scale=scale, D=D),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, W), lambda b, h, i: (b, 0, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, W), lambda b, h, i, G=G: (b, 0, G + h), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, H * D), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Nq * Nk * D,
+            bytes_accessed=(2 * B * Nq * H * D + 2 * B * Nk * H * D) * 2,
+            transcendentals=B * H * Nq * Nk,
+        ),
+    )(q, kv, kv)
+
+
+def _bwd_call_q_kv(q, kv, o, do, H: int, scale: float, block_q: Optional[int],
+                   interpret: bool):
+    """Backward for the q/kv-split layout. Returns (dq, dkv)."""
+    B, Nq, WHD = q.shape
+    D = WHD // H
+    Nk = kv.shape[1]
+    hpb = 1 if interpret else _heads_per_block(H, D)
+    G = H // hpb
+    bq = block_q or _pick_block(Nq, preferred=1568)
+    grid = (B, G, Nq // bq)
+    W = hpb * D
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_mh, scale=scale, D=D),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, W), lambda b, h, i: (b, 0, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, W), lambda b, h, i, G=G: (b, 0, G + h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, W), lambda b, h, i: (b, 0, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, W), lambda b, h, i: (b, 0, h), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Nq, H * D), q.dtype),
+            jax.ShapeDtypeStruct((B, Nk, H * D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Nk, H * D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Nk, W), jnp.float32),
+            pltpu.VMEM((Nk, W), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * Nq * Nk * D,
+            bytes_accessed=(4 * B * Nq * H * D + 4 * B * Nk * H * D) * 2,
+            transcendentals=B * H * Nq * Nk,
+        ),
+    )(q, kv, kv, o, do)
+    dkv = jnp.concatenate([dk.astype(kv.dtype), dv.astype(kv.dtype)], axis=-1)
+    return dq, dkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_attention_q_kv(
+    q: jnp.ndarray,
+    kv: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    block_q: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Softmax attention of local query rows [B, Nq, H*D] against a
+    (possibly larger) K/V set [B, Nk, 2*H*D].
+
+    The sequence-parallel building block: under `shard_map` with tokens
+    sharded over a mesh axis, each shard calls this with its own q rows and
+    the `jax.lax.all_gather`'d kv — autodiff then turns the gather's
+    transpose into the reduce-scatter of dkv automatically. Also usable as
+    a generic cross-attention kernel."""
+    return _fwd_call_q_kv(q, kv, num_heads, scale, block_q, interpret)
+
+
+def _fa_qkv2_fwd(q, kv, num_heads, scale, block_q, interpret):
+    out = fused_attention_q_kv(q, kv, num_heads, scale, block_q, interpret)
+    return out, (q, kv, out)
+
+
+def _fa_qkv2_bwd(num_heads, scale, block_q, interpret, res, g):
+    q, kv, o = res
+    return _bwd_call_q_kv(q, kv, o, g, num_heads, scale, block_q, interpret)
+
+
+fused_attention_q_kv.defvjp(_fa_qkv2_fwd, _fa_qkv2_bwd)

@@ -177,6 +177,13 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     fused: bool = False
     fused_interpret: bool = False  # Pallas interpreter (CPU tests)
+    # Sequence parallelism: when set to a mesh axis name (and running under
+    # shard_map with tokens sharded over that axis), each shard attends its
+    # local query rows against the all_gather'd K/V; autodiff turns the
+    # gather into the reduce-scatter of dK/dV. Beyond reference parity
+    # (SURVEY §2.8 lists SP as absent upstream) — pays at longer clips /
+    # higher resolutions where N grows past one chip's comfort.
+    seq_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -193,7 +200,26 @@ class Attention(nn.Module):
             bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
             qkv = qkv + bias.astype(self.dtype)
 
-        if self.fused and not return_attn and self.attn_drop == 0.0:
+        if self.seq_axis is not None:
+            if return_attn:
+                raise NotImplementedError("return_attn under sequence parallelism")
+            q = qkv[..., :C]
+            kv = jax.lax.all_gather(qkv[..., C:], self.seq_axis, axis=1, tiled=True)
+            if self.fused and self.attn_drop == 0.0:
+                from devias_tpu.kernels.attention import fused_attention_q_kv
+
+                out = fused_attention_q_kv(
+                    q, kv, self.num_heads, scale, None, self.fused_interpret
+                )
+            else:
+                Nk = kv.shape[1]
+                qh = q.reshape(B, N, self.num_heads, head_dim)
+                kh = kv[..., :C].reshape(B, Nk, self.num_heads, head_dim)
+                vh = kv[..., C:].reshape(B, Nk, self.num_heads, head_dim)
+                attn = jnp.einsum("bnhd,bmhd->bhnm", qh * scale, kh)
+                attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+                out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, C)
+        elif self.fused and not return_attn and self.attn_drop == 0.0:
             from devias_tpu.kernels.attention import fused_attention_qkv
 
             # the kernel indexes head/component slices of the fused [B, N,
@@ -235,6 +261,7 @@ class Block(nn.Module):
     norm_eps: float = 1e-6
     fused_attention: bool = False
     fused_interpret: bool = False
+    seq_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -249,6 +276,7 @@ class Block(nn.Module):
             proj_drop=self.drop,
             fused=self.fused_attention,
             fused_interpret=self.fused_interpret,
+            seq_axis=self.seq_axis,
             dtype=self.dtype,
             name="attn",
         )(y, deterministic=deterministic)
@@ -357,10 +385,25 @@ class VideoViT(nn.Module):
     # patch-embed matmul under XLA. Mathematically identical to host
     # normalization (ref kinetics.py:262-264).
     input_norm: bool = False
+    # Sequence parallelism (run under shard_map with the video's FRAME axis
+    # sharded over `seq_axis`; token order (t, h, w) makes frame shards ==
+    # contiguous token shards). seq_shards is the static axis size, needed
+    # to build the full positional table. Incompatible with cls/suffix
+    # tokens (the teacher/multi-task variants are small enough not to need
+    # SP). See core/dist.py:seq_parallel_tokens.
+    seq_axis: Optional[str] = None
+    seq_shards: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.seq_axis is not None:
+            if self.use_cls_token or self.num_extra_suffix_tokens:
+                raise NotImplementedError(
+                    "sequence parallelism with cls/suffix tokens"
+                )
+            if self.use_learnable_pos_emb:
+                raise NotImplementedError("learnable pos emb under seq parallelism")
         if self.input_norm:
             if x.dtype == jnp.uint8:
                 x = x.astype(self.dtype) / 255.0
@@ -375,6 +418,37 @@ class VideoViT(nn.Module):
             name="patch_embed",
         )(x)
         B, num_patches, D = x.shape
+
+        if self.seq_axis is not None:
+            # this shard's slice of the full sinusoid table
+            table = jnp.asarray(
+                sinusoid_position_table(num_patches * self.seq_shards, D), self.dtype
+            )
+            start = jax.lax.axis_index(self.seq_axis) * num_patches
+            pos = jax.lax.dynamic_slice_in_dim(table, start, num_patches, axis=0)
+            x = x + jax.lax.stop_gradient(pos)[None]
+            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+            dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
+            for i in range(self.depth):
+                x = Block(
+                    num_heads=self.num_heads,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale,
+                    drop=self.drop_rate,
+                    attn_drop=self.attn_drop_rate,
+                    drop_path_rate=float(dpr[i]),
+                    init_values=self.init_values,
+                    norm_eps=self.norm_eps,
+                    fused_attention=self.fused_attention,
+                    fused_interpret=self.fused_interpret,
+                    seq_axis=self.seq_axis,
+                    dtype=self.dtype,
+                    name=f"blocks_{i}",
+                )(x, deterministic)
+            if self.final_norm:
+                x = FastLayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
+            return x
 
         n_tokens = num_patches
         if self.use_cls_token:
