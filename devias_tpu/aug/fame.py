@@ -34,10 +34,12 @@ Layout: channels-last [B, T, H, W, C] (TPU-native), vs the reference NCTHW.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -87,22 +89,38 @@ def _gaussian_kernel1d(size: int, sigma: float) -> jnp.ndarray:
     return k / k.sum()
 
 
+@functools.lru_cache(maxsize=8)
+def _blur_band_matrix(n: int, size: int, sigma: float):
+    """[n, n] dense band matrix applying a 1-D Gaussian with reflect
+    padding: out[i] = sum_j M[i, j] * in[j]. Single-channel convolutions
+    run on the TPU VPU; a dense [n, n] contraction runs on the MXU and is
+    much faster at FAME's n=224 despite the redundant zeros (same
+    reduction-to-matmul trick as nn/vit.py:_row_means)."""
+    xk = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    k = np.exp(-0.5 * (xk / sigma) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+    pad = size // 2
+    M = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for t in range(size):
+            j = i - pad + t
+            if j < 0:
+                j = -j  # reflect (kornia/np 'reflect': no edge duplication)
+            elif j >= n:
+                j = 2 * n - 2 - j
+            M[i, j] += k[t]
+    return M  # numpy: safe to lru_cache across jit traces
+
+
 def _gaussian_blur(img: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur with reflect padding on [B, H, W]
-    (kornia GaussianBlur2d default border, ref fame.py:20-22)."""
-    k = _gaussian_kernel1d(size, sigma)
-    pad = size // 2
-    x = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
-    kh = k.reshape(1, 1, size, 1)
-    x = jax.lax.conv_general_dilated(
-        x[:, None], kh, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
-    )[:, 0]
-    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
-    kw = k.reshape(1, 1, 1, size)
-    x = jax.lax.conv_general_dilated(
-        x[:, None], kw, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
-    )[:, 0]
-    return x
+    (kornia GaussianBlur2d default border, ref fame.py:20-22), expressed
+    as two MXU band-matrix contractions."""
+    B, H, W = img.shape
+    Mh = jnp.asarray(_blur_band_matrix(H, size, sigma))
+    Mw = jnp.asarray(_blur_band_matrix(W, size, sigma))
+    x = jnp.einsum("hk,bkw->bhw", Mh, img)
+    return jnp.einsum("bhw,vw->bhv", x, Mw)
 
 
 def _minmax_norm(m: jnp.ndarray) -> jnp.ndarray:

