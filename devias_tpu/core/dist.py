@@ -161,6 +161,11 @@ def seq_parallel_tokens(backbone, params, videos, mesh: Mesh,
     Differentiable end to end: the K/V gather's transpose is the dK/dV
     reduce-scatter. Returns the full token tensor [B, N, D] (sharded over
     seq on the mesh). Batch is additionally sharded over the data axis.
+
+    NOTE: with deterministic=False the same rng stream is seen by every
+    shard — correct for drop_path (per-SAMPLE decisions must agree across
+    token shards) but token-level dropout would repeat its pattern per
+    shard; fold the shard index into the dropout rng before enabling it.
     """
     from jax.experimental.shard_map import shard_map
 
