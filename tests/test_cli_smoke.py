@@ -128,3 +128,41 @@ def test_run_slot_finetuning_knn(filelists, tmp_path):
         "--run_knn", "--nb_knn", "3", "--output_dir", str(tmp_path),
     ])
     main(args)  # prints the 4-way cross matrix; must not raise
+
+
+def test_run_slot_finetuning_segformer(filelists, tmp_path):
+    """--mask_model Segformer end to end: random-weight b0 checkpoint saved
+    in HF format, imported by the CLI, masks drive the in-step mixing."""
+    torch = pytest.importorskip("torch")
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+    from transformers import SegformerConfig, SegformerForSemanticSegmentation
+
+    torch.manual_seed(0)
+    hf = SegformerForSemanticSegmentation(SegformerConfig(num_labels=19))
+    ckpt = tmp_path / "pytorch_model.bin"
+    torch.save(hf.state_dict(), str(ckpt))
+
+    from devias_tpu.cli.run_slot_finetuning import get_args, main
+
+    args = get_args(BASE + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--num_latents", "2", "--agg_depth", "2",
+        "--agg_weights_tie", "--mask_model", "Segformer",
+        "--segformer_ckpt", str(ckpt), "--segformer_variant", "b0",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    main(args)
+    assert os.path.exists(tmp_path / "out" / "log.txt")
+
+
+def test_segformer_requires_ckpt(filelists, tmp_path):
+    from devias_tpu.cli.run_slot_finetuning import get_args, main
+
+    args = get_args(BASE + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--num_latents", "2", "--agg_depth", "2",
+        "--mask_model", "Segformer", "--output_dir", str(tmp_path),
+    ])
+    with pytest.raises(SystemExit):
+        main(args)
