@@ -83,12 +83,6 @@ class FAMEConfig:
         return self.gauss_size / 3.0
 
 
-def _gaussian_kernel1d(size: int, sigma: float) -> jnp.ndarray:
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / k.sum()
-
-
 @functools.lru_cache(maxsize=8)
 def _blur_band_matrix(n: int, size: int, sigma: float):
     """[n, n] dense band matrix applying a 1-D Gaussian with reflect

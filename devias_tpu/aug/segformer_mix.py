@@ -61,6 +61,11 @@ def segformer_mix_sample(
     masks: [B, T/2, H, W] float; videos: [B, T, H, W, C].
     Returns (videos, labels, (fg_mask [B, N], fg_masks_per_frames [B, T/2*N]))
     with N = (H/patch)*(W/patch).
+
+    Donor permutation spans this batch; under data parallelism wrap with
+    shard_local_segformer_mix (train/step.py) so the videos[perm] gather
+    stays device-local, mirroring the reference's rank-local permutation
+    (engine_for_slot.py:22).
     """
     B, T, H, W, C = videos.shape
     Th = masks.shape[1]

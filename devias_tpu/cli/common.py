@@ -190,6 +190,7 @@ def run_train_loop(
             for batch in itertools.islice(iter(loader_train), steps_per_epoch)
         )
         it = -1
+        msum, mcount = None, 0
         # async host->device: keep 2 batches in flight ahead of the step
         # (replaces the reference's pinned-memory non_blocking copies,
         # ref engine_for_slot.py:98-99)
@@ -200,6 +201,11 @@ def run_train_loop(
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
             state, metrics = train_step(state, *extra_step_args, dev_batch, rng)
+            # device-side running sum: every step enters the epoch average
+            # (ref MetricLogger updates each iteration, utils.py:39-50)
+            # without adding a host sync to the loop
+            msum = metrics if msum is None else jax.tree.map(jnp.add, msum, metrics)
+            mcount += 1
             if profiling and it == 10:
                 jax.tree.leaves(metrics)[0].block_until_ready()
                 jax.profiler.stop_trace()
@@ -218,14 +224,16 @@ def run_train_loop(
         if profiling:  # short epoch ended inside the capture window
             jax.profiler.stop_trace()
             profiling = False
-        if metrics:
-            meters.update(**{k: float(v) for k, v in jax.device_get(metrics).items()})
-        # global (cross-host) epoch averages (ref utils/utils.py:39-50)
+        # console meters stay windowed/sampled; the logged record uses the
+        # exact every-step epoch average (metrics are computed inside jit
+        # over the full sharded batch, so the values are already global)
         meters.synchronize_between_processes()
 
         record = {"epoch": epoch, "train_time_s": round(time.time() - t0, 1),
                   "n_steps": it + 1}
-        record.update({f"train_{k}": round(m.global_avg, 6) for k, m in meters.meters.items()})
+        if msum is not None:
+            epoch_avg = {k: float(v) / mcount for k, v in jax.device_get(msum).items()}
+            record.update({f"train_{k}": round(v, 6) for k, v in epoch_avg.items()})
         if validate is not None and not args.disable_eval_during_finetuning:
             val = validate(state)
             record.update({f"val_{k}": round(float(v), 3) for k, v in val.items()})
@@ -321,16 +329,25 @@ def make_train_loader(dataset, args) -> DataLoader:
     )
 
 
-def make_eval_loader(dataset, args, batch_size: Optional[int] = None) -> DataLoader:
+def make_eval_loader(dataset, args, batch_size: Optional[int] = None,
+                     all_hosts: bool = False) -> DataLoader:
+    """Evaluation loader. Default: shard across hosts only under
+    --dist_eval, unpadded (per-host result files record exactly their
+    shard; merge dedups). all_hosts=True shards across processes
+    UNCONDITIONALLY with padded (equal-length) shards — required by
+    consumers that all_gather fixed-shape per-host tensors, e.g. the kNN
+    feature banks (the reference's DistributedSampler pads the same way,
+    ref run_knn.py:28-42)."""
+    multi = all_hosts and jax.process_count() > 1
     return DataLoader(
         dataset,
         batch_size=batch_size or args.batch_size,
         shuffle=False,
         drop_last=False,
         num_workers=args.num_workers,
-        shard=jax.process_index() if args.dist_eval else 0,
-        num_shards=jax.process_count() if args.dist_eval else 1,
-        pad_shards=False,
+        shard=jax.process_index() if (multi or args.dist_eval) else 0,
+        num_shards=jax.process_count() if (multi or args.dist_eval) else 1,
+        pad_shards=multi,
     )
 
 

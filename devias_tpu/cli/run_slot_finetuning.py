@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +40,6 @@ from devias_tpu.train import (
     TrainStepConfig,
     make_optimizer,
     make_slot_train_step,
-    place_data_parallel,
 )
 
 
@@ -384,15 +382,31 @@ def run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
                 te, _ = knn_build_dataset(False, cfg)
             except (FileNotFoundError, ValueError):
                 continue
-            tr_l = make_eval_loader(tr, args)
-            te_l = make_eval_loader(te, args)
+            # always sharded+padded across hosts: the banks are assembled
+            # with fixed-shape process_allgather (unpadded/dist_eval-gated
+            # shards would either duplicate every sample into the bank or
+            # make the gather shapes ragged)
+            tr_l = make_eval_loader(tr, args, all_hosts=True)
+            te_l = make_eval_loader(te, args, all_hosts=True)
             tra, trs, tral, trsl = extract_slot_features(
                 tr_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
             tea, tes, teal, tesl = extract_slot_features(
                 te_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
-            # multi-host: concatenate per-host shards (ref run_knn.py:72-119)
-            tra, trs, tral, trsl = gather_features_across_hosts(tra, trs, tral, trsl)
-            tea, tes, teal, tesl = gather_features_across_hosts(tea, tes, teal, tesl)
+            # multi-host: scatter per-host shards into dataset-index order;
+            # the padded shards' duplicate rows collapse exactly as the
+            # reference's index_copy_ bank does (ref run_knn.py:72-119)
+            from devias_tpu.data.loader import shard_indices
+
+            def host_idx(ds):
+                return shard_indices(
+                    len(ds), jax.process_index(), jax.process_count(),
+                    False, 0, 0, True,
+                )
+
+            tra, trs, tral, trsl = gather_features_across_hosts(
+                tra, trs, tral, trsl, n_total=len(tr), local_indices=host_idx(tr))
+            tea, tes, teal, tesl = gather_features_across_hosts(
+                tea, tes, teal, tesl, n_total=len(te), local_indices=host_idx(te))
             if rank == 0 and args.output_dir:
                 # feature dump (ref run_knn.py:230-237 file naming)
                 save_knn_features(args.output_dir, data_set, {

@@ -80,22 +80,40 @@ def extract_slot_features(
     )
 
 
-def gather_features_across_hosts(*arrays):
+def gather_features_across_hosts(*arrays, n_total: int = None,
+                                 local_indices: np.ndarray = None):
     """Assemble per-host feature shards into the full bank on every host
-    (ref run_knn.py:72-119 all_gathers feature tensors across ranks).
-    Host h extracts its loader shard; process_allgather concatenates the
-    shards along axis 0. No-op in single-process runs."""
+    (ref run_knn.py:72-119 all_gathers feature tensors across ranks and
+    index_copy_'s them into a [len(dataset), D] bank). No-op in
+    single-process runs.
+
+    With n_total/local_indices given, rows are scattered into dataset-index
+    order and padding duplicates (equal-shape shards require padded
+    sharding) collapse exactly as the reference's index_copy_ does;
+    otherwise shards are plainly concatenated."""
     import jax
 
     if jax.process_count() == 1:
         return arrays if len(arrays) > 1 else arrays[0]
     from jax.experimental import multihost_utils
 
-    out = tuple(
-        None if a is None
-        else np.concatenate(list(multihost_utils.process_allgather(a, tiled=False)))
-        for a in arrays
-    )
+    def gather(a):
+        return np.concatenate(list(multihost_utils.process_allgather(a, tiled=False)))
+
+    if n_total is not None and local_indices is not None:
+        idx_all = gather(np.asarray(local_indices))
+
+        def scatter(a):
+            if a is None:
+                return None
+            g = gather(a)
+            bank = np.zeros((n_total,) + g.shape[1:], g.dtype)
+            bank[idx_all] = g  # duplicate indices overwrite with identical rows
+            return bank
+
+        out = tuple(scatter(a) for a in arrays)
+    else:
+        out = tuple(None if a is None else gather(a) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 

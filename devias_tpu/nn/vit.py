@@ -203,6 +203,12 @@ class Attention(nn.Module):
         if self.seq_axis is not None:
             if return_attn:
                 raise NotImplementedError("return_attn under sequence parallelism")
+            if self.attn_drop > 0.0:
+                # the single-chip paths apply attention-probability dropout;
+                # silently training without it under SP would be a config-
+                # dependent regularization change (never used by the
+                # published DEVIAS recipes, so fail loudly instead)
+                raise NotImplementedError("attn_drop > 0 under sequence parallelism")
             q = qkv[..., :C]
             kv = jax.lax.all_gather(qkv[..., C:], self.seq_axis, axis=1, tiled=True)
             if self.fused and self.attn_drop == 0.0:
@@ -420,7 +426,8 @@ class VideoViT(nn.Module):
         B, num_patches, D = x.shape
 
         if self.seq_axis is not None:
-            # this shard's slice of the full sinusoid table
+            # this shard's slice of the full sinusoid table; blocks below
+            # are shared with the single-chip path (seq_axis threads through)
             table = jnp.asarray(
                 sinusoid_position_table(num_patches * self.seq_shards, D), self.dtype
             )
@@ -428,27 +435,7 @@ class VideoViT(nn.Module):
             pos = jax.lax.dynamic_slice_in_dim(table, start, num_patches, axis=0)
             x = x + jax.lax.stop_gradient(pos)[None]
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-            dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
-            for i in range(self.depth):
-                x = Block(
-                    num_heads=self.num_heads,
-                    mlp_ratio=self.mlp_ratio,
-                    qkv_bias=self.qkv_bias,
-                    qk_scale=self.qk_scale,
-                    drop=self.drop_rate,
-                    attn_drop=self.attn_drop_rate,
-                    drop_path_rate=float(dpr[i]),
-                    init_values=self.init_values,
-                    norm_eps=self.norm_eps,
-                    fused_attention=self.fused_attention,
-                    fused_interpret=self.fused_interpret,
-                    seq_axis=self.seq_axis,
-                    dtype=self.dtype,
-                    name=f"blocks_{i}",
-                )(x, deterministic)
-            if self.final_norm:
-                x = FastLayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
-            return x
+            return self._blocks(x, deterministic)
 
         n_tokens = num_patches
         if self.use_cls_token:
@@ -472,7 +459,9 @@ class VideoViT(nn.Module):
             pos = sinusoid_position_table(n_tokens, D)
             x = x + jax.lax.stop_gradient(jnp.asarray(pos, self.dtype))[None]
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return self._blocks(x, deterministic)
 
+    def _blocks(self, x, deterministic):
         dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
         block_cls = Block
         if self.remat:
@@ -490,6 +479,7 @@ class VideoViT(nn.Module):
                 norm_eps=self.norm_eps,
                 fused_attention=self.fused_attention,
                 fused_interpret=self.fused_interpret,
+                seq_axis=self.seq_axis,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)

@@ -89,6 +89,31 @@ def _shard_local_fame(rng, videos, labels, fame_cfg: FAMEConfig, n_shards: int,
     )
 
 
+def _shard_local_segformer_mix(rng, masks, videos, labels, prob_aug, n_shards):
+    """Segformer mix with a shard-local donor permutation: like
+    _shard_local_fame, each data shard permutes only its own samples so the
+    videos[perm] gather never crosses devices (the reference likewise
+    permutes the rank-local batch, ref engine_for_slot.py:22)."""
+    from devias_tpu.aug.segformer_mix import segformer_mix_sample
+
+    B = videos.shape[0]
+    if n_shards <= 1 or B % n_shards != 0:
+        return segformer_mix_sample(rng, masks, videos, labels, prob_aug)
+    local = B // n_shards
+    m = masks.reshape(n_shards, local, *masks.shape[1:])
+    v = videos.reshape(n_shards, local, *videos.shape[1:])
+    l = labels.reshape(n_shards, local, *labels.shape[1:])
+    keys = jax.random.split(rng, n_shards)
+    v2, l2, (fg, fgpf) = jax.vmap(
+        lambda k, mm, vv, ll: segformer_mix_sample(k, mm, vv, ll, prob_aug)
+    )(keys, m, v, l)
+    return (
+        v2.reshape(videos.shape),
+        l2.reshape(labels.shape),
+        (fg.reshape(B, -1), fgpf.reshape(B, -1)),
+    )
+
+
 def make_slot_train_step(
     model,
     teacher_model,
@@ -131,8 +156,9 @@ def make_slot_train_step(
             else:
                 seg_in = videos
             masks = segformer_frame_masks(segformer_apply, seg_in)
-            videos, labels, (fg_mask, fg_pf) = segformer_mix_sample(
-                fame_rng, masks, videos, labels, step_cfg.fame.prob_aug
+            videos, labels, (fg_mask, fg_pf) = _shard_local_segformer_mix(
+                fame_rng, masks, videos, labels, step_cfg.fame.prob_aug,
+                step_cfg.num_data_shards,
             )
         elif step_cfg.use_fame:
             fame_stats = (
