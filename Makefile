@@ -23,3 +23,6 @@ dryrun:
 
 clean:
 	$(MAKE) -C native clean
+
+check-tpu:
+	python scripts/tpu_kernel_parity.py
