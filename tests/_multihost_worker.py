@@ -125,6 +125,34 @@ def fwd(p, videos):
 
 final_test(eval_loader, lambda v: fwd(state.params, v), 4, outdir, rank=proc_id)
 
+# multi-host kNN feature-bank assembly: padded equal shards over an ODD
+# dataset size (unpadded shards would be ragged), rows scattered back into
+# dataset-index order with padding duplicates collapsing (the reference's
+# index_copy_ semantics, ref run_knn.py:100-120)
+from devias_tpu.data.loader import shard_indices
+from devias_tpu.eval.knn import gather_features_across_hosts
+
+NK = 31
+kds = SyntheticDataset(NK)
+kloader = DataLoader(
+    kds, batch_size=4, shuffle=False, drop_last=False, num_workers=0,
+    shard=proc_id, num_shards=nprocs, pad_shards=True,
+)
+feats, labs = [], []
+for b in kloader:
+    feats.append(b["videos"].mean(axis=(1, 2, 3)))
+    labs.append(b["labels"])
+feats, labs = np.concatenate(feats), np.concatenate(labs)
+idx = shard_indices(NK, proc_id, nprocs, False, 0, 0, True)
+assert len(idx) == len(feats), (len(idx), len(feats))
+bank_f, bank_l = gather_features_across_hosts(
+    feats, labs, n_total=NK, local_indices=idx
+)
+exp = np.stack([kds[i]["videos"].mean(axis=(0, 1, 2)) for i in range(NK)])
+knn_bank_ok = bool(
+    np.allclose(bank_f, exp, atol=1e-6) and (bank_l == np.arange(NK) % 5).all()
+)
+
 checksum = float(
     sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in jax.tree.leaves(jax.device_get(state.params)))
 )
@@ -136,6 +164,7 @@ with open(os.path.join(outdir, f"summary_{proc_id}.json"), "w") as f:
             "loss_global_avg": meters.meters["loss"].global_avg,
             "param_checksum": checksum,
             "world": jax.process_count(),
+            "knn_bank_ok": knn_bank_ok,
         },
         f,
     )

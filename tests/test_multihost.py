@@ -64,6 +64,8 @@ def test_two_process_rehearsal(tmp_path):
     assert summaries[0]["loss_global_avg"] == pytest.approx(
         summaries[1]["loss_global_avg"], rel=1e-6
     )
+    # kNN bank: padded shards + index scatter reproduce the exact dataset
+    assert all(s["knn_bank_ok"] for s in summaries)
 
     # distributed eval: merging the two per-host files covers every video
     from devias_tpu.eval.merge import parse_result_file
