@@ -26,3 +26,6 @@ clean:
 
 check-tpu:
 	python scripts/tpu_kernel_parity.py
+
+overfit-check:
+	python scripts/full_scale_overfit.py
