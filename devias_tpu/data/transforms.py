@@ -337,7 +337,10 @@ def random_erase_clip(
     T, H, W, C = clip.shape
     area = H * W
     log_ratio = (math.log(min_aspect), math.log(1 / min_aspect))
-    for _ in range(10):
+    # 100 placement attempts and per-FRAME fresh gaussian fill, matching the
+    # reference cube path exactly (ref random_erasing.py:109-150: the box is
+    # shared across frames but _get_pixels draws new noise for each frame)
+    for _ in range(100):
         target = rng.uniform(min_area, max_area) * area
         aspect = math.exp(rng.uniform(*log_ratio))
         h = int(round(math.sqrt(target * aspect)))
@@ -345,7 +348,7 @@ def random_erase_clip(
         if h < H and w < W:
             y = rng.randint(0, H - h)
             x = rng.randint(0, W - w)
-            noise = np.random.normal(size=(h, w, C)).astype(clip.dtype)
+            noise = np.random.normal(size=(T, h, w, C)).astype(clip.dtype)
             clip = clip.copy()
             clip[:, y : y + h, x : x + w] = noise
             return clip

@@ -1,0 +1,84 @@
+"""Golden Mixup/CutMix parity vs the reference implementation
+(ref utils/transform/mixup.py, timm batch mode — the only mode the
+reference CLIs expose), with randomness pinned identically on both sides.
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.append("/root/repo/tests")
+from _ref_oracle import load_reference
+
+from devias_tpu.aug.mixup import MixupConfig, mixup_cutmix
+
+B, T, H, W = 4, 2, 32, 32
+K = 7
+
+
+def _ref_mixup(videos_np, labels_np, lam, use_cutmix, cy, cx, cfg, monkeypatch):
+    load_reference()
+    import utils.transform.mixup as refmix
+
+    # _params_per_batch: rand() < mix_prob (apply), rand() < switch_prob
+    u_seq = iter([0.0, 0.0 if use_cutmix else 1.0])
+    monkeypatch.setattr(refmix.np.random, "rand", lambda *a: next(u_seq))
+    monkeypatch.setattr(refmix.np.random, "beta", lambda *a, **k: lam)
+    # rand_bbox draws cy then cx
+    ri_seq = iter([np.array(cy), np.array(cx)])
+    monkeypatch.setattr(
+        refmix.np.random, "randint", lambda lo, hi, size=None: next(ri_seq)
+    )
+
+    m = refmix.Mixup(
+        mixup_alpha=cfg.mixup_alpha, cutmix_alpha=cfg.cutmix_alpha,
+        prob=1.0, switch_prob=cfg.switch_prob, mode="batch",
+        label_smoothing=cfg.label_smoothing, num_classes=K,
+    )
+    x = torch.from_numpy(videos_np).permute(0, 4, 1, 2, 3).clone()  # B,C,T,H,W
+    y = torch.from_numpy(labels_np)
+    xm, ym = m(x, y)
+    return xm.permute(0, 2, 3, 4, 1).numpy(), ym.numpy()
+
+
+@pytest.mark.parametrize("use_cutmix,lam", [(False, 0.37), (True, 0.62)])
+def test_mixup_batch_mode_matches_reference(monkeypatch, use_cutmix, lam):
+    rng = np.random.default_rng(0)
+    videos = rng.normal(size=(B, T, H, W, 3)).astype(np.float32)
+    labels = (np.arange(B) % K).astype(np.int64)
+    cy, cx = 20, 9
+    cfg = MixupConfig(
+        mixup_alpha=0.8, cutmix_alpha=1.0, prob=1.0, switch_prob=0.5,
+        label_smoothing=0.1, num_classes=K,
+    )
+
+    ref_x, ref_y = _ref_mixup(videos, labels, lam, use_cutmix, cy, cx, cfg, monkeypatch)
+
+    # pin our randomness to the same decisions: uniform draws are
+    # (use_mixing < prob, switch < switch_prob), then beta, then the
+    # cutmix box center randints (cy, cx)
+    import devias_tpu.aug.mixup as ours
+
+    u_seq = iter([0.0, 0.0 if use_cutmix else 1.0])
+    monkeypatch.setattr(
+        ours.jax.random, "uniform", lambda k, *a, **kw: jnp.float32(next(u_seq))
+    )
+    monkeypatch.setattr(
+        ours.jax.random, "beta", lambda k, a, b, *aa, **kw: jnp.float32(lam)
+    )
+    ri_seq = iter([jnp.int32(cy), jnp.int32(cx)])
+    monkeypatch.setattr(
+        ours.jax.random, "randint", lambda k, shape, lo, hi: next(ri_seq)
+    )
+
+    out_x, out_y = mixup_cutmix(
+        jax.random.PRNGKey(0), jnp.asarray(videos), jnp.asarray(labels), cfg
+    )
+
+    np.testing.assert_allclose(np.asarray(out_x), ref_x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_y), ref_y, rtol=1e-5, atol=1e-6)
