@@ -38,13 +38,19 @@ except ImportError:  # pragma: no cover
 # ---------------------------------------------------------------------------
 
 def resize_clip_short_side(clip: np.ndarray, short_side: int, interpolation: str = "bilinear") -> np.ndarray:
-    """Resize so min(H, W) == short_side, keeping aspect ratio
-    (ref video_transforms.py Resize with int size)."""
+    """Resize so min(H, W) == short_side, keeping aspect ratio.
+
+    The long side TRUNCATES (int(), not round()) and an already-matching
+    short side skips the resize entirely — both exactly as the reference
+    (ref utils/functional.py:25-74 get_resize_sizes/resize_clip); a
+    one-pixel long-side difference shifts every downstream eval crop."""
     T, H, W = clip.shape[:3]
-    if H < W:
-        nh, nw = short_side, int(round(W * short_side / H))
+    if (W <= H and W == short_side) or (H <= W and H == short_side):
+        return clip
+    if W < H:
+        nh, nw = int(short_side * H / W), short_side
     else:
-        nh, nw = int(round(H * short_side / W)), short_side
+        nh, nw = short_side, int(short_side * W / H)
     return resize_clip(clip, (nh, nw), interpolation)
 
 
@@ -61,8 +67,11 @@ def resize_clip(clip: np.ndarray, size: Tuple[int, int], interpolation: str = "b
 
 def center_crop_clip(clip: np.ndarray, size: int) -> np.ndarray:
     T, H, W = clip.shape[:3]
-    y = (H - size) // 2
-    x = (W - size) // 2
+    # int(round(.)) with banker's rounding, matching the reference exactly
+    # (ref video_transforms.py:1165-1166) — differs from //2 by one pixel
+    # when the margin is an odd number of half-pixels
+    y = int(round((H - size) / 2.0))
+    x = int(round((W - size) / 2.0))
     return clip[:, y : y + size, x : x + size]
 
 

@@ -178,6 +178,8 @@ def _install_torchvision():
         return
     tv = types.ModuleType("torchvision")
     transforms = types.ModuleType("torchvision.transforms")
+    tv_functional = types.ModuleType("torchvision.transforms.functional")
+    transforms.functional = tv_functional
     datasets = types.ModuleType("torchvision.datasets")
     video_utils = types.ModuleType("torchvision.datasets.video_utils")
 
@@ -188,11 +190,12 @@ def _install_torchvision():
     datasets.video_utils = video_utils
     tv.transforms = transforms
     tv.datasets = datasets
-    _shim_spec(tv, transforms, datasets, video_utils)
+    _shim_spec(tv, transforms, tv_functional, datasets, video_utils)
     sys.modules.update(
         {
             "torchvision": tv,
             "torchvision.transforms": transforms,
+            "torchvision.transforms.functional": tv_functional,
             "torchvision.datasets": datasets,
             "torchvision.datasets.video_utils": video_utils,
         }
