@@ -41,6 +41,16 @@ def _pick_block(n: int, preferred: int = 256) -> int:
     return best or n
 
 
+def _vmem_block(n: int, preferred: int, f32_tiles: float) -> int:
+    """Block pick that also respects VMEM: the kernels hold ~f32_tiles
+    [bq, n] f32 intermediates, so cap bq to keep them under ~45 MB. At the
+    flagship N=1568 the caps (fwd 2869, bwd 2049) leave the tuned
+    preferred sizes untouched; for longer sequences (e.g. 384^2 / 32-frame
+    clips -> 9216 tokens) the q blocks shrink instead of overflowing VMEM."""
+    cap = max(16, int(45e6 / (4.0 * f32_tiles * n)))
+    return _pick_block(n, preferred=min(preferred, cap))
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     # VPU passes over the [bq, n] tile are the fwd bottleneck (the two
     # matmuls are half-MXU at d=64), so: scale q (not s) on the tiny
@@ -299,7 +309,7 @@ def _fwd_call_qkv(qkv, H: int, scale: float, block_q: Optional[int], interpret: 
     D = W3 // (3 * H)
     hpb = 1 if interpret else _heads_per_block(H, D)
     G = H // hpb  # head-group blocks per component
-    bq = block_q or _pick_block(N, preferred=784)
+    bq = block_q or _vmem_block(N, preferred=784, f32_tiles=2.5)
     grid = (B, G, N // bq)
     W = hpb * D
     return pl.pallas_call(
@@ -334,7 +344,7 @@ def _bwd_call_qkv(qkv, o, do, stats, H: int, scale: float, block_q: Optional[int
     D = W3 // (3 * H)
     hpb = 1 if interpret else _heads_per_block(H, D)
     G = H // hpb
-    bq = block_q or _pick_block(N, preferred=1568)
+    bq = block_q or _vmem_block(N, preferred=1568, f32_tiles=3.5)
     grid = (B, G, N // bq)
     W = hpb * D
     dq, dk, dv = pl.pallas_call(
@@ -457,7 +467,8 @@ def _fwd_call_q_kv(q, kv, H: int, scale: float, block_q: Optional[int],
     Nk = kv.shape[1]
     hpb = 1 if interpret else _heads_per_block(H, D)
     G = H // hpb
-    bq = block_q or _pick_block(Nq, preferred=784)
+    bq = block_q or _vmem_block(Nk, preferred=784, f32_tiles=2.5)
+    bq = bq if Nq % bq == 0 else _pick_block(Nq, preferred=bq)
     grid = (B, G, Nq // bq)
     W = hpb * D
     return pl.pallas_call(
@@ -494,7 +505,8 @@ def _bwd_call_q_kv(q, kv, o, do, stats, H: int, scale: float, block_q: Optional[
     Nk = kv.shape[1]
     hpb = 1 if interpret else _heads_per_block(H, D)
     G = H // hpb
-    bq = block_q or _pick_block(Nq, preferred=1568)
+    bq = _vmem_block(Nk, preferred=1568, f32_tiles=3.5) if block_q is None else block_q
+    bq = bq if Nq % bq == 0 else _pick_block(Nq, preferred=bq)
     grid = (B, G, Nq // bq)
     W = hpb * D
     dq, dk, dv = pl.pallas_call(
