@@ -46,9 +46,18 @@ def _vmem_block(n: int, preferred: int, f32_tiles: float) -> int:
     [bq, n] f32 intermediates, so cap bq to keep them under ~45 MB. At the
     flagship N=1568 the caps (fwd 2869, bwd 2049) leave the tuned
     preferred sizes untouched; for longer sequences (e.g. 384^2 / 32-frame
-    clips -> 9216 tokens) the q blocks shrink instead of overflowing VMEM."""
+    clips -> 9216 tokens) the q blocks shrink instead of overflowing VMEM.
+    Raises (instead of silently overflowing via the whole-N fallback) when
+    n has no 16-multiple divisor under the cap."""
     cap = max(16, int(45e6 / (4.0 * f32_tiles * n)))
-    return _pick_block(n, preferred=min(preferred, cap))
+    bq = _pick_block(n, preferred=min(preferred, cap))
+    if bq > max(cap, preferred):
+        raise ValueError(
+            f"sequence length {n} has no 16-multiple divisor <= {cap}; the "
+            f"attention intermediates would overflow VMEM. Pad the token "
+            f"count or shard the sequence (core/dist.py seq parallelism)."
+        )
+    return bq
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -197,14 +206,24 @@ def _bwd_call(q, k, v, o, do, scale: float, block_q: Optional[int], interpret: b
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, stats_ref, *, scale: float, D: int):
+def _stats_width(hpb: int) -> int:
+    """Lanes of the softmax-stats side output: m and l per head, padded to
+    a multiple of 8 sublane-friendly lanes (block last dim == array dim,
+    so any width is Mosaic-legal)."""
+    return max(8, 2 * hpb)
+
+
+def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, *stats_ref, scale: float, D: int):
     """Forward over `hpb` heads laid side by side in the minor dim
     (block width hpb*D so the lane dimension stays 128-aligned).
 
-    Also emits the per-row softmax statistics — columns [0, hpb) hold the
-    row max m, [hpb, 2*hpb) the exp-sum l — so the backward can rebuild
-    e = exp(s - m) and 1/l without re-reducing the [bq, n] tile (the two
-    cross-lane reductions cost ~0.8 ms/layer at batch 12)."""
+    With a stats output present (the differentiated path) it also emits the
+    per-row softmax statistics — columns [0, hpb) hold the row max m,
+    [hpb, 2*hpb) the exp-sum l — so the backward can rebuild e = exp(s - m)
+    and 1/l without re-reducing the [bq, n] tile (the two cross-lane
+    reductions cost ~0.8 ms/layer at batch 12). The primal/eval path omits
+    the output entirely (frozen-teacher and inference forwards should not
+    pay the extra HBM writes)."""
     hpb = q_ref.shape[-1] // D
     q = q_ref[0] * scale
     cols = []
@@ -220,12 +239,14 @@ def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, stats_ref, *, scale: float, D: in
         o = jnp.dot(e.astype(v_ref.dtype), v_ref[0, :, sl], preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
         cols.append((m, l))
-    pad = stats_ref.shape[-1] - 2 * hpb
-    stats_ref[0, 0] = jnp.concatenate(
-        [m for m, _ in cols] + [l for _, l in cols]
-        + [jnp.zeros((q.shape[0], pad), jnp.float32)],
-        axis=1,
-    )
+    if stats_ref:
+        (sref,) = stats_ref
+        pad = sref.shape[-1] - 2 * hpb
+        sref[0, 0] = jnp.concatenate(
+            [m for m, _ in cols] + [l for _, l in cols]
+            + [jnp.zeros((q.shape[0], pad), jnp.float32)],
+            axis=1,
+        )
 
 
 def _bwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, do_ref, stats_ref,
@@ -292,7 +313,8 @@ def _heads_per_block(H: int, D: int) -> int:
     return hpb
 
 
-def _fwd_call_qkv(qkv, H: int, scale: float, block_q: Optional[int], interpret: bool):
+def _fwd_call_qkv(qkv, H: int, scale: float, block_q: Optional[int], interpret: bool,
+                  with_stats: bool = True):
     """Attention directly on the fused projection output.
 
     qkv: [B, N, 3*H*D] (the qkv Dense output, q|k|v each H*D wide)
@@ -312,7 +334,15 @@ def _fwd_call_qkv(qkv, H: int, scale: float, block_q: Optional[int], interpret: 
     bq = block_q or _vmem_block(N, preferred=784, f32_tiles=2.5)
     grid = (B, G, N // bq)
     W = hpb * D
-    return pl.pallas_call(
+    SW = _stats_width(hpb)
+    out_specs = [pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, N, H * D), qkv.dtype)]
+    if with_stats:
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, SW), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((B, G, N, SW), jnp.float32))
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel_mh, scale=scale, D=D),
         grid=grid,
         in_specs=[
@@ -320,14 +350,8 @@ def _fwd_call_qkv(qkv, H: int, scale: float, block_q: Optional[int], interpret: 
             pl.BlockSpec((1, N, W), lambda b, h, i, G=G: (b, 0, G + h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, W), lambda b, h, i, G=G: (b, 0, 2 * G + h), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 8), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, N, H * D), qkv.dtype),
-            jax.ShapeDtypeStruct((B, G, N, 8), jnp.float32),  # softmax (m, l) rows
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -335,6 +359,7 @@ def _fwd_call_qkv(qkv, H: int, scale: float, block_q: Optional[int], interpret: 
             transcendentals=B * H * N * N,
         ),
     )(qkv, qkv, qkv)
+    return out if with_stats else (out[0], None)
 
 
 def _bwd_call_qkv(qkv, o, do, stats, H: int, scale: float, block_q: Optional[int],
@@ -356,7 +381,7 @@ def _bwd_call_qkv(qkv, o, do, stats, H: int, scale: float, block_q: Optional[int
             pl.BlockSpec((1, N, W), lambda b, h, i, G=G: (b, 0, 2 * G + h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 8), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, _stats_width(hpb)), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
@@ -395,7 +420,8 @@ def fused_attention_qkv(
     (q|k|v contiguous) and returning [B, N, H*D] — both in the layouts the
     surrounding Dense layers produce/consume, so no transposes enter the
     graph in either direction."""
-    out, _ = _fwd_call_qkv(qkv, num_heads, scale, block_q, interpret)
+    out, _ = _fwd_call_qkv(qkv, num_heads, scale, block_q, interpret,
+                           with_stats=False)
     return out
 
 
@@ -455,7 +481,7 @@ fused_attention.defvjp(_fa_fwd, _fa_bwd)
 
 
 def _fwd_call_q_kv(q, kv, H: int, scale: float, block_q: Optional[int],
-                   interpret: bool):
+                   interpret: bool, with_stats: bool = True):
     """Cross-shard attention: local queries against gathered K/V.
 
     q: [B, Nq, H*D] (this shard's query rows), kv: [B, Nk, 2*H*D]
@@ -467,11 +493,20 @@ def _fwd_call_q_kv(q, kv, H: int, scale: float, block_q: Optional[int],
     Nk = kv.shape[1]
     hpb = 1 if interpret else _heads_per_block(H, D)
     G = H // hpb
-    bq = block_q or _vmem_block(Nk, preferred=784, f32_tiles=2.5)
-    bq = bq if Nq % bq == 0 else _pick_block(Nq, preferred=bq)
+    # cap from the GATHERED Nk (the [bq, Nk] intermediates), divisor from Nq
+    cap = max(16, int(45e6 / (4.0 * 2.5 * Nk)))
+    bq = block_q or _pick_block(Nq, preferred=min(784, cap))
     grid = (B, G, Nq // bq)
     W = hpb * D
-    return pl.pallas_call(
+    SW = _stats_width(hpb)
+    out_specs = [pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, Nq, H * D), q.dtype)]
+    if with_stats:
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, SW), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((B, G, Nq, SW), jnp.float32))
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel_mh, scale=scale, D=D),
         grid=grid,
         in_specs=[
@@ -479,14 +514,8 @@ def _fwd_call_q_kv(q, kv, H: int, scale: float, block_q: Optional[int],
             pl.BlockSpec((1, Nk, W), lambda b, h, i: (b, 0, h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Nk, W), lambda b, h, i, G=G: (b, 0, G + h), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 8), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Nq, H * D), q.dtype),
-            jax.ShapeDtypeStruct((B, G, Nq, 8), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -495,6 +524,7 @@ def _fwd_call_q_kv(q, kv, H: int, scale: float, block_q: Optional[int],
             transcendentals=B * H * Nq * Nk,
         ),
     )(q, kv, kv)
+    return out if with_stats else (out[0], None)
 
 
 def _bwd_call_q_kv(q, kv, o, do, stats, H: int, scale: float, block_q: Optional[int],
@@ -505,8 +535,8 @@ def _bwd_call_q_kv(q, kv, o, do, stats, H: int, scale: float, block_q: Optional[
     Nk = kv.shape[1]
     hpb = 1 if interpret else _heads_per_block(H, D)
     G = H // hpb
-    bq = _vmem_block(Nk, preferred=1568, f32_tiles=3.5) if block_q is None else block_q
-    bq = bq if Nq % bq == 0 else _pick_block(Nq, preferred=bq)
+    cap = max(16, int(45e6 / (4.0 * 3.5 * Nk)))
+    bq = block_q or _pick_block(Nq, preferred=min(1568, cap))
     grid = (B, G, Nq // bq)
     W = hpb * D
     dq, dk, dv = pl.pallas_call(
@@ -518,7 +548,7 @@ def _bwd_call_q_kv(q, kv, o, do, stats, H: int, scale: float, block_q: Optional[
             pl.BlockSpec((1, Nk, W), lambda b, h, i, G=G: (b, 0, G + h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 8), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, _stats_width(hpb)), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, W), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM),
@@ -563,7 +593,8 @@ def fused_attention_q_kv(
     the `jax.lax.all_gather`'d kv — autodiff then turns the gather's
     transpose into the reduce-scatter of dkv automatically. Also usable as
     a generic cross-attention kernel."""
-    out, _ = _fwd_call_q_kv(q, kv, num_heads, scale, block_q, interpret)
+    out, _ = _fwd_call_q_kv(q, kv, num_heads, scale, block_q, interpret,
+                            with_stats=False)
     return out
 
 
