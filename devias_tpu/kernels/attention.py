@@ -242,11 +242,10 @@ def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, *stats_ref, scale: float, D: int)
     if stats_ref:
         (sref,) = stats_ref
         pad = sref.shape[-1] - 2 * hpb
-        sref[0, 0] = jnp.concatenate(
-            [m for m, _ in cols] + [l for _, l in cols]
-            + [jnp.zeros((q.shape[0], pad), jnp.float32)],
-            axis=1,
-        )
+        parts = [m for m, _ in cols] + [l for _, l in cols]
+        if pad:  # zero-size vectors are not Mosaic-legal
+            parts.append(jnp.zeros((q.shape[0], pad), jnp.float32))
+        sref[0, 0] = jnp.concatenate(parts, axis=1)
 
 
 def _bwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, do_ref, stats_ref,

@@ -50,4 +50,25 @@ g_cat = np.concatenate([np.asarray(g_s[0], np.float32), np.asarray(g_s[1], np.fl
 gd2 = np.abs(g_cat - np.asarray(g_r, np.float32))
 print("q_kv bwd max|d|:", gd2.max())
 assert gd2.max() < 0.05 * max(gs, 1.0)
+# head_dim-16 geometry (hpb = 8 heads per 128-lane block): exercises the
+# stats-width-follows-hpb path that a hardcoded 8-lane buffer broke
+H2, D2, N2 = 8, 16, 1024
+scale2 = D2 ** -0.5
+qkv2 = jnp.asarray(rng.normal(size=(2, N2, 3*H2*D2)) * 0.5, jnp.bfloat16)
+cot2 = jnp.asarray(rng.normal(size=(2, N2, H2*D2)), jnp.bfloat16)
+def ref2(x):
+    C2 = H2*D2
+    q2, k2, v2 = (x[..., i*C2:(i+1)*C2].reshape(2, N2, H2, D2) for i in range(3))
+    s2 = jnp.einsum("bnhd,bmhd->bhnm", (q2*scale2).astype(jnp.float32), k2.astype(jnp.float32))
+    p2 = jax.nn.softmax(s2, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", p2, v2.astype(jnp.float32)).reshape(2, N2, C2).astype(jnp.bfloat16)
+o2 = jax.jit(lambda x: fused_attention_qkv(x, H2, scale2))(qkv2)
+d2 = np.abs(np.asarray(o2, np.float32) - np.asarray(jax.jit(ref2)(qkv2), np.float32)).max()
+print("hpb=8 fwd max|d|:", d2)
+assert d2 < 0.03
+g2 = jax.jit(jax.grad(lambda x: (fused_attention_qkv(x, H2, scale2).astype(jnp.float32)*cot2.astype(jnp.float32)).sum()))(qkv2)
+g2r = jax.jit(jax.grad(lambda x: (ref2(x).astype(jnp.float32)*cot2.astype(jnp.float32)).sum()))(qkv2)
+d2g = np.abs(np.asarray(g2, np.float32) - np.asarray(g2r, np.float32)).max()
+print("hpb=8 bwd max|d|:", d2g)
+assert d2g < 0.05
 print("TPU kernel parity OK")

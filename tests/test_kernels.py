@@ -196,3 +196,20 @@ def test_fused_attention_qkv_matches_reference(N):
     g = jax.grad(lambda x: (fused_attention_qkv(x, H, scale, None, True) * cot).sum())(qkv)
     g_ref = jax.grad(lambda x: (ref(x) * cot).sum())(qkv)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_vmem_block_and_stats_width():
+    from devias_tpu.kernels.attention import _stats_width, _vmem_block
+
+    # flagship geometry: caps leave tuned picks untouched
+    assert _vmem_block(1568, 784, 2.5) == 784
+    assert _vmem_block(1568, 1568, 3.5) == 1568
+    # long sequences shrink the q block instead of overflowing VMEM
+    assert _vmem_block(9216, 784, 2.5) == 384
+    assert _vmem_block(9216, 1568, 3.5) == 288
+    # no 16-multiple divisor under the cap -> loud error, not an OOM
+    with pytest.raises(ValueError, match="no 16-multiple divisor"):
+        _vmem_block(9000, 784, 2.5)  # 9000 = 2^3*3^2*5^3: max 2-power is 8
+    # stats lanes follow the head grouping (hpb=8 at head_dim 16)
+    assert _stats_width(2) == 8
+    assert _stats_width(8) == 16
