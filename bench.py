@@ -119,7 +119,7 @@ def main():
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_pipeline.py"),
              "--batches", "3"],
-            timeout=360, capture_output=True, text=True,
+            timeout=240, capture_output=True, text=True,
         )
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):

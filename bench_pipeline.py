@@ -58,7 +58,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=12)
     ap.add_argument("--input", type=int, default=224)
     ap.add_argument("--num_workers", type=int, default=max(os.cpu_count() or 1, 1))
-    ap.add_argument("--device_normalize", action="store_true", default=True)
+    ap.add_argument(
+        "--device_normalize", action=argparse.BooleanOptionalAction, default=True
+    )
     args = ap.parse_args()
 
     import jax

@@ -82,9 +82,21 @@ def _ln(sd, name):
     return {"scale": sd[f"{name}.weight"].copy(), "bias": sd[f"{name}.bias"].copy()}
 
 
-def _backbone_params(sd: Dict[str, np.ndarray], depth: int) -> Dict[str, Any]:
+def _backbone_params(
+    sd: Dict[str, np.ndarray],
+    depth: int,
+    dst_spatial: Optional[int] = None,
+    frames_tokens: Optional[int] = None,
+    num_extra_tokens: Optional[int] = None,
+) -> Dict[str, Any]:
     """Translate a VideoMAE-style torch backbone into the VideoViT tree.
-    `depth` is capped to the blocks actually present in the checkpoint."""
+    `depth` is capped to the blocks actually present in the checkpoint.
+
+    dst_spatial/frames_tokens: target HxW patch-grid side and temporal token
+    count — when given and the checkpoint's learnable pos_embed was trained
+    at a different spatial resolution, it is bicubic-interpolated over the
+    spatial grid only, exactly as the reference finetune surgery does
+    (ref run_slot_finetuning.py:471-497); extra (cls) tokens are kept."""
     present = [
         int(k.split(".")[1]) for k in sd if k.startswith("blocks.") and k.endswith(".norm1.weight")
     ]
@@ -104,7 +116,22 @@ def _backbone_params(sd: Dict[str, np.ndarray], depth: int) -> Dict[str, Any]:
     if "scene_token" in sd:  # multi-task suffix token (ref modeling_multi_task.py)
         p["suffix_tokens"] = sd["scene_token"].copy()
     if "pos_embed" in sd:
-        p["pos_embed"] = sd["pos_embed"].copy()
+        pos = sd["pos_embed"].copy()
+        if dst_spatial is not None and frames_tokens is not None:
+            if num_extra_tokens is None:
+                # reference: extra = pos rows beyond the patch count — the
+                # prepended cls slot exists iff the model has one
+                num_extra_tokens = 1 if "cls_token" in sd else 0
+            flat = pos.reshape(-1, pos.shape[-1]) if pos.ndim == 3 else pos
+            extra, tokens = flat[:num_extra_tokens], flat[num_extra_tokens:]
+            src_spatial = int(round((tokens.shape[0] / frames_tokens) ** 0.5))
+            if src_spatial != dst_spatial:
+                tokens = interpolate_pos_embed(
+                    tokens, src_spatial, dst_spatial, frames_tokens
+                )
+                flat = np.concatenate([extra, tokens], axis=0)
+                pos = flat[None] if pos.ndim == 3 else flat
+        p["pos_embed"] = pos
 
     for i in range(depth):
         b = f"blocks.{i}"
@@ -178,17 +205,27 @@ def import_torch_state_dict(
     depth: int = 12,
     agg_unique_layers: int = 1,
     expected_head_out: Optional[int] = None,
+    dst_spatial: Optional[int] = None,
+    frames_tokens: Optional[int] = None,
+    num_extra_tokens: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Build a flax params tree from a torch state dict.
 
     model_kind: 'slot' | 'plain' | 'multi_task' | 'slot_fusion' | 'backbone'
     expected_head_out: if given and the checkpoint head mismatches, the head
     is dropped (caller keeps its fresh init; ref run_slot_finetuning.py:455-458).
+    dst_spatial/frames_tokens: target patch-grid geometry for the learnable
+    pos-embed interpolation surgery (ref run_slot_finetuning.py:471-497).
     Returns a partial tree — merge over a freshly initialized tree with
     `merge_params`.
     """
     sd = strip_prefixes(sd)
-    p: Dict[str, Any] = {"backbone": _backbone_params(sd, depth)}
+    p: Dict[str, Any] = {
+        "backbone": _backbone_params(
+            sd, depth, dst_spatial=dst_spatial, frames_tokens=frames_tokens,
+            num_extra_tokens=num_extra_tokens,
+        )
+    }
 
     def add_linear(dst_name: str, torch_name: str):
         if f"{torch_name}.weight" in sd:

@@ -376,9 +376,14 @@ def finetune_surgery(args, model_kind: str, params, num_classes_total: int,
     if not args.finetune:
         return params, None
     sd = load_torch_checkpoint_file(args.finetune)
+    # target geometry for the pos-embed interpolation surgery
+    # (ref run_slot_finetuning.py:471-497)
+    dst_spatial = getattr(args, "input_size", 224) // 16
+    frames_tokens = getattr(args, "num_frames", 16) // 2
     imported = import_torch_state_dict(
         sd, model_kind, depth=depth, agg_unique_layers=agg_unique_layers,
         expected_head_out=num_classes_total,
+        dst_spatial=dst_spatial, frames_tokens=frames_tokens,
     )
     merged, report = merge_params(params, imported)
     print(f"finetune load: {len(report['loaded'])} tensors; "

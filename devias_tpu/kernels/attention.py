@@ -51,7 +51,7 @@ def _vmem_block(n: int, preferred: int, f32_tiles: float) -> int:
     n has no 16-multiple divisor under the cap."""
     cap = max(16, int(45e6 / (4.0 * f32_tiles * n)))
     bq = _pick_block(n, preferred=min(preferred, cap))
-    if bq > max(cap, preferred):
+    if bq > cap:
         raise ValueError(
             f"sequence length {n} has no 16-multiple divisor <= {cap}; the "
             f"attention intermediates would overflow VMEM. Pad the token "

@@ -95,6 +95,7 @@ class SlotViT(nn.Module):
     use_learnable_pos_emb: bool = False
     remat: bool = False
     fused_attention: bool = False
+    exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -116,6 +117,7 @@ class SlotViT(nn.Module):
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             remat=self.remat,
             fused_attention=self.fused_attention,
+            exact_gelu=self.exact_gelu,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,
@@ -207,6 +209,7 @@ class PlainViT(nn.Module):
     use_learnable_pos_emb: bool = False
     remat: bool = False
     fused_attention: bool = False
+    exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -230,6 +233,7 @@ class PlainViT(nn.Module):
             final_norm=not self.use_mean_pooling,
             remat=self.remat,
             fused_attention=self.fused_attention,
+            exact_gelu=self.exact_gelu,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,
@@ -276,6 +280,7 @@ class MultiTaskViT(nn.Module):
     use_learnable_pos_emb: bool = False
     remat: bool = False
     fused_attention: bool = False
+    exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -299,6 +304,7 @@ class MultiTaskViT(nn.Module):
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             remat=self.remat,
             fused_attention=self.fused_attention,
+            exact_gelu=self.exact_gelu,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,
@@ -370,6 +376,7 @@ class SlotFusionViT(nn.Module):
     use_learnable_pos_emb: bool = False
     remat: bool = False
     fused_attention: bool = False
+    exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -391,6 +398,7 @@ class SlotFusionViT(nn.Module):
             use_learnable_pos_emb=self.use_learnable_pos_emb,
             remat=self.remat,
             fused_attention=self.fused_attention,
+            exact_gelu=self.exact_gelu,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,

@@ -144,6 +144,10 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     drop: float = 0.0
+    # None: tanh GELU in bf16 (fast path), exact erf otherwise. Explicit
+    # True/False overrides — exact_gelu=True at the model level keeps
+    # bf16 runs erf-exact for parity studies (torch uses exact GELU).
+    gelu_approx: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -154,7 +158,10 @@ class Mlp(nn.Module):
         # batch 12 (20% of the whole train step), while the tanh form
         # differs by at most 4.7e-4 absolute (measured over [-12, 12]),
         # an order of magnitude below bf16 resolution at unit scale
-        x = nn.gelu(x, approximate=(self.dtype == jnp.bfloat16))
+        approx = self.gelu_approx
+        if approx is None:
+            approx = self.dtype == jnp.bfloat16
+        x = nn.gelu(x, approximate=approx)
         x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=trunc02, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
@@ -268,6 +275,7 @@ class Block(nn.Module):
     fused_attention: bool = False
     fused_interpret: bool = False
     seq_axis: Optional[str] = None
+    exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -299,6 +307,7 @@ class Block(nn.Module):
             hidden_dim=int(C * self.mlp_ratio),
             out_dim=C,
             drop=self.drop,
+            gelu_approx=False if self.exact_gelu else None,
             dtype=self.dtype,
             name="mlp",
         )(y, deterministic=deterministic)
@@ -385,6 +394,7 @@ class VideoViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     fused_interpret: bool = False
+    exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     # input_norm=True moves ImageNet normalization onto the device: the
     # pipeline ships uint8 (or [0,1] float) clips — 4x smaller host->device
     # transfers and no host-side float pass; the affine fuses into the
@@ -480,6 +490,7 @@ class VideoViT(nn.Module):
                 fused_attention=self.fused_attention,
                 fused_interpret=self.fused_interpret,
                 seq_axis=self.seq_axis,
+                exact_gelu=self.exact_gelu,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)

@@ -130,7 +130,14 @@ def _scale_by_scheduled_lr(lr_fn: Callable, lr_scale_tree) -> optax.GradientTran
 class FusedAdamW(NamedTuple):
     """optax-compatible transformation with an extra single-pass path.
 
-    `update` matches the optax chain bit-for-bit (used by generic callers);
+    NOTE on checkpoint format: the opt_state is a bare ScaleByAdamState,
+    not the clip_grad optax chain's tuple-of-states — toggling clip_grad
+    between runs changes the checkpointed opt_state structure, so resumes
+    must keep the same clip_grad setting (ckpt/orbax_io restores by tree
+    structure).
+
+    `update` matches the optax chain's f32 math (used by generic callers;
+    the param-dtype quantization happens only in fused_apply/apply_updates);
     `fused_apply(params, grads, state)` additionally folds the parameter
     update and the global grad-norm reduction into the same per-leaf kernel
     (one read of g and one read-modify-write of p/m/v — the optax chain +
@@ -156,13 +163,18 @@ def _make_fused_adamw(cfg: OptimConfig, lr_fn, wd_fn, lr_scales, wd_mask) -> Fus
         )
 
     def _leaf(p, m, v, g, s, decay, lr, wd, bc1, bc2):
+        """Returns (f32 scaled update, new mu, new nu). The param-dtype
+        cast happens only in fused_apply — the generic `update` hands the
+        unquantized f32 update to the caller (optax convention; the old
+        form differenced quantized params, giving non-f32 callers a
+        quantized update the optax chain would not produce)."""
         g = g.astype(jnp.float32)
         m2 = b1 * m + (1 - b1) * g
         v2 = b2 * v + (1 - b2) * (g * g)
         u = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
         if decay:
             u = u + wd * p
-        return (p - (lr * s) * u).astype(p.dtype), m2, v2
+        return (-(lr * s)) * u, m2, v2
 
     def _sched(count):
         c = count + 1
@@ -178,7 +190,7 @@ def _make_fused_adamw(cfg: OptimConfig, lr_fn, wd_fn, lr_scales, wd_mask) -> Fus
             params, state.mu, state.nu, updates, lr_scales, wd_mask,
         )
         is3 = lambda o: isinstance(o, tuple) and len(o) == 3
-        new_u = jax.tree.map(lambda o, p: o[0] - p, out, params, is_leaf=is3)
+        new_u = jax.tree.map(lambda o: o[0], out, is_leaf=is3)
         mu = jax.tree.map(lambda o: o[1], out, is_leaf=is3)
         nu = jax.tree.map(lambda o: o[2], out, is_leaf=is3)
         return new_u, optax.ScaleByAdamState(count=c, mu=mu, nu=nu)
@@ -193,7 +205,9 @@ def _make_fused_adamw(cfg: OptimConfig, lr_fn, wd_fn, lr_scales, wd_mask) -> Fus
             params, state.mu, state.nu, grads, lr_scales, wd_mask,
         )
         is4 = lambda o: isinstance(o, tuple) and len(o) == 4
-        p2 = jax.tree.map(lambda o: o[0], out, is_leaf=is4)
+        p2 = jax.tree.map(
+            lambda o, p: (p + o[0]).astype(p.dtype), out, params, is_leaf=is4
+        )
         mu = jax.tree.map(lambda o: o[1], out, is_leaf=is4)
         nu = jax.tree.map(lambda o: o[2], out, is_leaf=is4)
         gsq = sum(jax.tree.leaves(jax.tree.map(lambda o: o[3], out, is_leaf=is4)))

@@ -80,13 +80,88 @@ def _install_timm():
     models.layers = layers
     models.registry = registry
     timm.models = models
-    _shim_spec(timm, models, layers, registry)
+
+    # timm.utils — imported by the reference engines (engine_for_slot.py:8).
+    # accuracy is the standard public top-k metric; ModelEma is only
+    # instantiated when --model_ema is on (never in trajectory tests), so a
+    # minimal EMA-over-state-dict implementation suffices.
+    tutils = types.ModuleType("timm.utils")
+
+    def accuracy(output, target, topk=(1,)):
+        maxk = max(topk)
+        _, pred = output.topk(maxk, 1, True, True)
+        pred = pred.t()
+        correct = pred.eq(target.reshape(1, -1).expand_as(pred))
+        return [
+            correct[:k].reshape(-1).float().sum(0) * 100.0 / target.size(0)
+            for k in topk
+        ]
+
+    class ModelEma:
+        def __init__(self, model, decay=0.9999, device="", resume=""):
+            import copy
+
+            self.ema = copy.deepcopy(model).eval()
+            self.decay = decay
+            for p in self.ema.parameters():
+                p.requires_grad_(False)
+
+        def update(self, model):
+            with torch.no_grad():
+                esd = self.ema.state_dict()
+                for k, v in model.state_dict().items():
+                    if v.dtype.is_floating_point:
+                        esd[k].mul_(self.decay).add_(v, alpha=1 - self.decay)
+                    else:
+                        esd[k].copy_(v)
+
+    def get_state_dict(model, unwrap_fn=None):
+        model = getattr(model, "ema", model)  # ModelEma wrapper
+        model = getattr(model, "module", model)  # DDP wrapper
+        return model.state_dict()
+
+    tutils.accuracy = accuracy
+    tutils.ModelEma = ModelEma
+    tutils.get_state_dict = get_state_dict
+    timm.utils = tutils
+
+    # timm.optim.* — imported at the top of the reference optim_factory but
+    # only reachable via opt names the published recipes never use ('adamw'
+    # routes to torch.optim.AdamW, ref optim_factory.py:109-116). Stubs
+    # that raise on instantiation keep the import honest.
+    toptim = types.ModuleType("timm.optim")
+    optim_subs = {}
+    for sub, cls_name in [
+        ("adafactor", "Adafactor"), ("adahessian", "Adahessian"),
+        ("adamp", "AdamP"), ("lookahead", "Lookahead"), ("nadam", "Nadam"),
+        ("nvnovograd", "NvNovoGrad"), ("radam", "RAdam"),
+        ("rmsprop_tf", "RMSpropTF"), ("sgdp", "SGDP"),
+    ]:
+        mod = types.ModuleType(f"timm.optim.{sub}")
+
+        def _make_stub(name):
+            def _init(self, *a, **k):
+                raise NotImplementedError(
+                    f"timm.optim.{name} shim: not used by any DEVIAS recipe"
+                )
+
+            return type(name, (), {"__init__": _init})
+
+        setattr(mod, cls_name, _make_stub(cls_name))
+        setattr(toptim, sub, mod)
+        optim_subs[f"timm.optim.{sub}"] = mod
+    timm.optim = toptim
+
+    _shim_spec(timm, models, layers, registry, tutils, toptim, *optim_subs.values())
     sys.modules.update(
         {
             "timm": timm,
             "timm.models": models,
             "timm.models.layers": layers,
             "timm.models.registry": registry,
+            "timm.utils": tutils,
+            "timm.optim": toptim,
+            **optim_subs,
         }
     )
 

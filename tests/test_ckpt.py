@@ -208,3 +208,85 @@ def test_torch_export_loads_in_torch(tmp_path):
     assert ckpt["epoch"] == 7
     assert "head.weight" in ckpt["model"]
     assert tuple(ckpt["model"]["head.weight"].shape) == (5, 64)
+
+
+def test_pos_embed_interpolation_matches_reference_surgery():
+    """Golden vs the reference's bicubic grid interpolation
+    (ref run_slot_finetuning.py:471-497): oracle below follows that block
+    line by line (B,L,C -> BT,H,W,C -> BT,C,H,W -> bicubic -> back), on a
+    real size mismatch (8x8 -> 14x14 spatial, temporal axis kept), both
+    with and without a prepended cls (extra) token. The repo path under
+    test is the full import entry (import_torch_state_dict with
+    dst_spatial/frames_tokens), not just the helper."""
+    import torch
+    import torch.nn.functional as TF
+
+    from devias_tpu.ckpt import import_torch_state_dict
+
+    rng = np.random.default_rng(11)
+    T, S0, S1, D = 8, 8, 14, 32
+    num_frames, tubelet = 16, 2
+
+    def reference_oracle(pos_ckpt: np.ndarray, num_extra_tokens: int) -> np.ndarray:
+        pos_embed_checkpoint = torch.from_numpy(pos_ckpt)  # [1, L, C]
+        embedding_size = pos_embed_checkpoint.shape[-1]
+        num_patches = (num_frames // tubelet) * S1 * S1
+        orig_size = int(
+            ((pos_embed_checkpoint.shape[-2] - num_extra_tokens)
+             // (num_frames // tubelet)) ** 0.5
+        )
+        new_size = int((num_patches // (num_frames // tubelet)) ** 0.5)
+        assert orig_size != new_size
+        extra_tokens = pos_embed_checkpoint[:, :num_extra_tokens]
+        pos_tokens = pos_embed_checkpoint[:, num_extra_tokens:]
+        pos_tokens = pos_tokens.reshape(
+            -1, num_frames // tubelet, orig_size, orig_size, embedding_size
+        )
+        pos_tokens = pos_tokens.reshape(-1, orig_size, orig_size, embedding_size).permute(0, 3, 1, 2)
+        pos_tokens = TF.interpolate(
+            pos_tokens, size=(new_size, new_size), mode="bicubic", align_corners=False
+        )
+        pos_tokens = pos_tokens.permute(0, 2, 3, 1).reshape(
+            -1, num_frames // tubelet, new_size, new_size, embedding_size
+        )
+        pos_tokens = pos_tokens.flatten(1, 3)
+        return torch.cat((extra_tokens, pos_tokens), dim=1).numpy()
+
+    # minimal backbone checkpoint (depth 0) carrying a learnable pos_embed
+    base_sd = {
+        "patch_embed.proj.weight": rng.normal(size=(D, 3, tubelet, 16, 16)).astype(np.float32),
+        "patch_embed.proj.bias": np.zeros(D, np.float32),
+    }
+
+    # no extra tokens (slot-model layout)
+    pos = rng.normal(size=(1, T * S0 * S0, D)).astype(np.float32)
+    imported = import_torch_state_dict(
+        {**base_sd, "pos_embed": pos}, "backbone", depth=0,
+        dst_spatial=S1, frames_tokens=T,
+    )
+    np.testing.assert_allclose(
+        imported["backbone"]["pos_embed"], reference_oracle(pos, 0), atol=1e-6
+    )
+
+    # prepended cls token (plain-model layout): extra row passes through
+    pos_cls = rng.normal(size=(1, 1 + T * S0 * S0, D)).astype(np.float32)
+    imported = import_torch_state_dict(
+        {
+            **base_sd,
+            "pos_embed": pos_cls,
+            "cls_token": rng.normal(size=(1, 1, D)).astype(np.float32),
+        },
+        "backbone", depth=0, dst_spatial=S1, frames_tokens=T,
+    )
+    got = imported["backbone"]["pos_embed"]
+    want = reference_oracle(pos_cls, 1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got)[0, 0], pos_cls[0, 0])
+
+    # size match: untouched (the reference only interpolates on mismatch)
+    pos_same = rng.normal(size=(1, T * S1 * S1, D)).astype(np.float32)
+    imported = import_torch_state_dict(
+        {**base_sd, "pos_embed": pos_same}, "backbone", depth=0,
+        dst_spatial=S1, frames_tokens=T,
+    )
+    np.testing.assert_array_equal(imported["backbone"]["pos_embed"], pos_same)

@@ -205,3 +205,85 @@ def test_knn_build_dataset_is_deterministic(tmp_path):
     a = ds[0]["videos"]
     b = ds[0]["videos"]
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Cross-oracle: the ACTUAL reference merge over repo-written files and the
+# repo merge over reference-format files (VERDICT r2 missing item 2)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_rank_files(root, writer, num_ranks=3, num_videos=8, C=10, seed=0):
+    """Multi-rank, multi-view result files with duplicate views across ranks
+    AND a string-concat dedup collision pair ((1,23) vs (12,3) -> '123',
+    the reference quirk at engine_for_slot.py:387-394)."""
+    rng = np.random.default_rng(seed)
+    labels = {f"vid{v}": int(rng.integers(0, C)) for v in range(num_videos)}
+    views = [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
+    per_rank = {r: [] for r in range(num_ranks)}
+    for v in range(num_videos):
+        vid = f"vid{v}"
+        for ci, (c, s) in enumerate(views):
+            r = (v + ci) % num_ranks
+            per_rank[r].append((vid, rng.normal(size=C) * 2, labels[vid], c, s))
+        # duplicated view on another rank (must be dropped by dedup)
+        r2 = (v + 1) % num_ranks
+        per_rank[r2].append((vid, rng.normal(size=C) * 5, labels[vid], 0, 0))
+        # concat-collision pair: '1'+'23' == '12'+'3'; second must be dropped
+        per_rank[v % num_ranks].append((vid, rng.normal(size=C), labels[vid], 1, 23))
+        per_rank[(v + 2) % num_ranks].append((vid, rng.normal(size=C), labels[vid], 12, 3))
+    for r in range(num_ranks):
+        rows = per_rank[r]
+        writer(
+            os.path.join(root, f"{r}.txt"),
+            [x[0] for x in rows],
+            np.stack([x[1] for x in rows]),
+            [x[2] for x in rows],
+            [x[3] for x in rows],
+            [x[4] for x in rows],
+        )
+    return num_ranks
+
+
+def _reference_format_writer(path, ids, logits, labels, chunks, splits):
+    """Writes lines exactly as the reference final_test does
+    (engine_for_slot.py:281-301): str(numpy .tolist()) logits, a
+    '<acc1>, <acc5>' header line."""
+    with open(path, "w") as f:
+        f.write("tensor(12.5000), tensor(55.0000)\n")
+        for i, vid in enumerate(ids):
+            f.write(
+                "{} {} {} {} {}\n".format(
+                    vid,
+                    str(np.asarray(logits[i], np.float32).tolist()),
+                    str(int(labels[i])),
+                    str(int(chunks[i])),
+                    str(int(splits[i])),
+                )
+            )
+
+
+def test_merge_cross_oracle_reference_reads_our_files(tmp_path):
+    """The actual reference merge() consumes repo-written result files."""
+    from _ref_oracle import load_reference
+
+    load_reference()
+    from engine import engine_for_slot as ref_engine
+
+    n = _synthetic_rank_files(str(tmp_path), write_result_file)
+    ours = merge_results(str(tmp_path), n)
+    theirs = ref_engine.merge(str(tmp_path), n)
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-9)
+
+
+def test_merge_cross_oracle_we_read_reference_files(tmp_path):
+    """The repo merge consumes reference-format files; both merges agree."""
+    from _ref_oracle import load_reference
+
+    load_reference()
+    from engine import engine_for_slot as ref_engine
+
+    n = _synthetic_rank_files(str(tmp_path), _reference_format_writer, seed=1)
+    ours = merge_results(str(tmp_path), n)
+    theirs = ref_engine.merge(str(tmp_path), n)
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-9)
