@@ -150,7 +150,7 @@ def make_sp_mesh(
 
 
 def seq_parallel_tokens(backbone, params, videos, mesh: Mesh,
-                        deterministic: bool = True):
+                        deterministic: bool = True, rng=None):
     """Run a VideoViT backbone sequence-parallel over `mesh`'s seq axis.
 
     `backbone` must be constructed with `seq_axis=SEQ_AXIS` and
@@ -162,10 +162,16 @@ def seq_parallel_tokens(backbone, params, videos, mesh: Mesh,
     reduce-scatter. Returns the full token tensor [B, N, D] (sharded over
     seq on the mesh). Batch is additionally sharded over the data axis.
 
-    NOTE: with deterministic=False the same rng stream is seen by every
-    shard — correct for drop_path (per-SAMPLE decisions must agree across
-    token shards) but token-level dropout would repeat its pattern per
-    shard; fold the shard index into the dropout rng before enabling it.
+    Stochastic training (deterministic=False, requires `rng`): the rng
+    streams are derived per shard so that
+      * token-level dropout gets a DIFFERENT stream per (data, seq) shard —
+        a shared stream would repeat the same mask on every token shard;
+      * drop_path gets the SAME stream on every seq shard of a sample (the
+        per-sample keep/drop decision must agree across its token shards)
+        but a different stream per data shard (independent samples).
+    This enables the published drop_path 0.2 recipe (docs/TRAIN.md:118)
+    under SP. attn_drop stays unsupported (nn/vit.py raises — the attention
+    map is distributed over shards).
     """
     from jax.experimental.shard_map import shard_map
 
@@ -176,11 +182,34 @@ def seq_parallel_tokens(backbone, params, videos, mesh: Mesh,
         raise ValueError(
             f"frames {T} not divisible by seq shards {s} x tubelet {tb}"
         )
+    if not deterministic and rng is None:
+        raise ValueError("deterministic=False requires rng")
+
+    if deterministic:
+        fn = shard_map(
+            lambda p, v: backbone.apply({"params": p}, v, True),
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, SEQ_AXIS)),
+            out_specs=P(DATA_AXIS, SEQ_AXIS),
+            check_rep=False,
+        )
+        return fn(params, videos)
+
+    def body(p, v, key):
+        di = jax.lax.axis_index(DATA_AXIS)
+        si = jax.lax.axis_index(SEQ_AXIS)
+        drop_key, dp_key = jax.random.split(key)
+        rngs = {
+            "dropout": jax.random.fold_in(jax.random.fold_in(drop_key, di), si),
+            "drop_path": jax.random.fold_in(dp_key, di),
+        }
+        return backbone.apply({"params": p}, v, False, rngs=rngs)
+
     fn = shard_map(
-        lambda p, v: backbone.apply({"params": p}, v, deterministic),
+        body,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS, SEQ_AXIS)),
+        in_specs=(P(), P(DATA_AXIS, SEQ_AXIS), P()),
         out_specs=P(DATA_AXIS, SEQ_AXIS),
         check_rep=False,
     )
-    return fn(params, videos)
+    return fn(params, videos, rng)

@@ -96,6 +96,7 @@ class SlotViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
+    patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -118,6 +119,7 @@ class SlotViT(nn.Module):
             remat=self.remat,
             fused_attention=self.fused_attention,
             exact_gelu=self.exact_gelu,
+            patch_embed_conv=self.patch_embed_conv,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,
@@ -210,6 +212,7 @@ class PlainViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
+    patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -234,6 +237,7 @@ class PlainViT(nn.Module):
             remat=self.remat,
             fused_attention=self.fused_attention,
             exact_gelu=self.exact_gelu,
+            patch_embed_conv=self.patch_embed_conv,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,
@@ -281,6 +285,7 @@ class MultiTaskViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
+    patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -305,6 +310,7 @@ class MultiTaskViT(nn.Module):
             remat=self.remat,
             fused_attention=self.fused_attention,
             exact_gelu=self.exact_gelu,
+            patch_embed_conv=self.patch_embed_conv,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,
@@ -377,6 +383,7 @@ class SlotFusionViT(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
+    patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -399,6 +406,7 @@ class SlotFusionViT(nn.Module):
             remat=self.remat,
             fused_attention=self.fused_attention,
             exact_gelu=self.exact_gelu,
+            patch_embed_conv=self.patch_embed_conv,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,

@@ -321,25 +321,51 @@ class Block(nn.Module):
         return x
 
 
-class PatchEmbed3D(nn.Module):
-    """Tubelet patch embedding as reshape + matmul (MXU-friendly).
+def patchify_video(x, tubelet: int = 2, patch: int = 16):
+    """[B, T, H, W, C] -> [B, t*h*w, tubelet*p*p*C] flattened tubelet
+    patches in (t, ph, pw, c) order — PatchEmbed3D's kernel layout.
 
-    Equivalent to the reference Conv3d(kernel=stride=(tubelet, p, p))
-    followed by flatten+transpose (ref: model/modeling_slot.py:155-177).
+    Producers that end in elementwise work (FAME's mix/normalize epilogue)
+    should call this ON their output: XLA emits the transpose as the
+    producer fusion's output layout, and the patch embed then runs as a
+    pure [B*N, K] @ [K, D] GEMM at MXU peak instead of the strided conv
+    (~10% MXU) + relayout copies the 5-D path costs (docs/PERF.md)."""
+    B, T, H, W, C = x.shape
+    if H % patch or W % patch or T % tubelet:
+        raise ValueError(f"input {x.shape} not divisible by patch {tubelet}x{patch}x{patch}")
+    t, h, w = T // tubelet, H // patch, W // patch
+    x = x.reshape(B, t, tubelet, h, patch, w, patch, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(B, t * h * w, tubelet * patch * patch * C)
+
+
+class PatchEmbed3D(nn.Module):
+    """Tubelet patch embedding (ref: model/modeling_slot.py:155-177).
+
     Token order is (t, h, w), matching the reference's flatten(2) of
     [B, D, T', H', W']. Kernel is stored as [tubelet*p*p*C, D] with the
     flattened patch laid out in (t, ph, pw, c) order.
+
+    Two lowerings, selected by `use_conv`:
+      * conv (space-to-depth `conv_general_dilated`) — best when the input
+        arrives straight from HBM in video layout;
+      * patchify + one [B*N, K] @ [K, D] matmul — best when an elementwise
+        producer (FAME's mix/normalize epilogue) can absorb the patchify
+        transpose, leaving a pure MXU-peak GEMM; also lets the student and
+        teacher share one patchified tensor via CSE.
+    Both are exactly the same math and parameter layout.
     """
 
     embed_dim: int = 768
     patch_size: int = 16
     tubelet_size: int = 2
+    use_conv: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        B, T, H, W, C = x.shape
         p, tb = self.patch_size, self.tubelet_size
+        B, T, H, W, C = x.shape
         if H % p or W % p or T % tb:
             raise ValueError(f"input {x.shape} not divisible by patch {tb}x{p}x{p}")
         t, h, w = T // tb, H // p, W // p
@@ -350,6 +376,9 @@ class PatchEmbed3D(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32)
+        if not self.use_conv:
+            patches = patchify_video(x.astype(self.dtype), tb, p)
+            return patches @ kernel.astype(self.dtype) + bias.astype(self.dtype)
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.reshape(tb, p, p, C, self.embed_dim).astype(self.dtype),
@@ -395,6 +424,10 @@ class VideoViT(nn.Module):
     fused_attention: bool = False
     fused_interpret: bool = False
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
+    # patch-embed lowering: conv (space-to-depth) vs patchify+matmul — same
+    # math; see PatchEmbed3D. matmul wins when an elementwise producer
+    # (FAME) absorbs the patchify transpose.
+    patch_embed_conv: bool = True
     # input_norm=True moves ImageNet normalization onto the device: the
     # pipeline ships uint8 (or [0,1] float) clips — 4x smaller host->device
     # transfers and no host-side float pass; the affine fuses into the
@@ -430,6 +463,7 @@ class VideoViT(nn.Module):
             embed_dim=self.embed_dim,
             patch_size=self.patch_size,
             tubelet_size=self.tubelet_size,
+            use_conv=self.patch_embed_conv,
             dtype=self.dtype,
             name="patch_embed",
         )(x)

@@ -126,6 +126,8 @@ def aggregate(out_dir: str, steps: int, top: int = 60):
         if "step" in lane.lower() or "framework" in lane.lower():
             continue
         name = e.get("name", "?")
+        if name.startswith("jit_") or name.startswith("pjit"):
+            continue  # umbrella events double-count their children
         per_op[name] += e["dur"]
         per_op_n[name] += 1
 
@@ -143,6 +145,20 @@ def aggregate(out_dir: str, steps: int, top: int = 60):
     print("\n== top ops (ms/step, count/step) ==")
     for name, us in per_op.most_common(top):
         print(f"  {us/1000/steps:8.3f}  x{per_op_n[name]/steps:6.1f}  {name[:120]}")
+
+    # the tail: everything below the top list, grouped by name prefix
+    shown = {n for n, _ in per_op.most_common(top)}
+    tail = collections.Counter()
+    tail_n = collections.Counter()
+    for name, us in per_op.items():
+        if name in shown:
+            continue
+        pref = re.split(r"[.\d]", name)[0] or name
+        tail[pref] += us
+        tail_n[pref] += per_op_n[name]
+    print(f"\n== tail (below top {top}): {sum(tail.values())/1000/steps:.2f} ms/step ==")
+    for pref, us in tail.most_common(30):
+        print(f"  {us/1000/steps:8.3f}  x{tail_n[pref]/steps:6.1f}  {pref}")
 
 
 if __name__ == "__main__":

@@ -19,8 +19,10 @@ import os
 import sys
 
 proc_id, nprocs, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+eval_n = int(sys.argv[5]) if len(sys.argv) > 5 else 32
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# 8 global devices regardless of process count (2 procs x 4, 4 procs x 2)
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={8 // nprocs}"
 os.environ["DEVIAS_TPU_COORDINATOR"] = f"127.0.0.1:{port}"
 os.environ["DEVIAS_TPU_NUM_PROCS"] = str(nprocs)
 os.environ["DEVIAS_TPU_PROC_ID"] = str(proc_id)
@@ -33,7 +35,7 @@ from devias_tpu.core.dist import make_mesh, maybe_init_distributed
 
 maybe_init_distributed()
 assert jax.process_count() == nprocs, jax.process_count()
-assert jax.device_count() == 4 * nprocs
+assert jax.device_count() == 8
 
 import jax.numpy as jnp
 import numpy as np
@@ -111,9 +113,13 @@ for dev_batch in device_prefetch(batches, size=2, sharding=data_sh):
     n_steps += 1
 meters.synchronize_between_processes()
 
-# distributed eval: per-host result files (ref engine final_test + merge)
+# distributed eval: per-host result files (ref engine final_test + merge).
+# eval_n != train N exercises UNEVEN contiguous shards (e.g. 30 over 4
+# hosts -> 8,8,7,7), the reference's dist_eval padding caveat
+# (ref run_slot_finetuning.py:283-291)
+eds = SyntheticDataset(eval_n)
 eval_loader = DataLoader(
-    ds, batch_size=4, shuffle=False, drop_last=False, num_workers=0,
+    eds, batch_size=4, shuffle=False, drop_last=False, num_workers=0,
     shard=proc_id, num_shards=nprocs, pad_shards=False,
 )
 
@@ -132,7 +138,7 @@ final_test(eval_loader, lambda v: fwd(state.params, v), 4, outdir, rank=proc_id)
 from devias_tpu.data.loader import shard_indices
 from devias_tpu.eval.knn import gather_features_across_hosts
 
-NK = 31
+NK = eval_n - 1  # odd vs the padded shard grid -> wrapped duplicate rows
 kds = SyntheticDataset(NK)
 kloader = DataLoader(
     kds, batch_size=4, shuffle=False, drop_last=False, num_workers=0,

@@ -32,7 +32,7 @@ def _free_port():
     return port
 
 
-def test_two_process_rehearsal(tmp_path):
+def _run_rehearsal(nprocs, tmp_path, eval_n):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if not k.startswith("DEVIAS_TPU_")}
     env.pop("XLA_FLAGS", None)
@@ -40,19 +40,25 @@ def test_two_process_rehearsal(tmp_path):
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), "2", str(port), str(tmp_path)],
+            [sys.executable, WORKER, str(i), str(nprocs), str(port),
+             str(tmp_path), str(eval_n)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outs = [p.communicate(timeout=540)[0].decode() for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
 
     summaries = []
-    for i in range(2):
+    for i in range(nprocs):
         with open(tmp_path / f"summary_{i}.json") as f:
             summaries.append(json.load(f))
+    return summaries
+
+
+def test_two_process_rehearsal(tmp_path):
+    summaries = _run_rehearsal(2, tmp_path, 32)
     assert all(s["world"] == 2 for s in summaries)
     # each host ran half the global batches: 32 items / (8 global batch) = 4 steps
     assert all(s["n_steps"] == 4 for s in summaries)
@@ -76,3 +82,33 @@ def test_two_process_rehearsal(tmp_path):
     assert len(ids) == 32
     assert len(set(ids)) == 32  # disjoint shards, no duplicates or gaps
     assert set(ids) == {f"v{i:03d}" for i in range(32)}
+
+
+def test_four_process_rehearsal(tmp_path):
+    """4 hosts x 2 devices (VERDICT r2 item 9): uneven eval shards (30 over
+    4 hosts -> 8,8,7,7) and the kNN bank assembly under real cross-host
+    padding (29 rows padded to 32, wrapped duplicates on several hosts)."""
+    summaries = _run_rehearsal(4, tmp_path, 30)
+    assert all(s["world"] == 4 for s in summaries)
+    # global batch 8 over 4 hosts -> 2/host; 32 items -> 4 steps each
+    assert all(s["n_steps"] == 4 for s in summaries)
+    for s in summaries[1:]:
+        assert s["param_checksum"] == pytest.approx(
+            summaries[0]["param_checksum"], rel=1e-6
+        )
+        assert s["loss_global_avg"] == pytest.approx(
+            summaries[0]["loss_global_avg"], rel=1e-6
+        )
+    assert all(s["knn_bank_ok"] for s in summaries)
+
+    from devias_tpu.eval.merge import parse_result_file
+
+    ids = []
+    sizes = []
+    for r in range(4):
+        rows = parse_result_file(str(tmp_path / f"{r}.txt"))
+        sizes.append(len(rows))
+        ids.extend(row[0] for row in rows)
+    assert sorted(sizes) == [7, 7, 8, 8]  # genuinely uneven shards
+    assert len(ids) == 30 and len(set(ids)) == 30
+    assert set(ids) == {f"v{i:03d}" for i in range(30)}

@@ -92,3 +92,102 @@ def test_sp_rejects_cls_token_and_bad_shards():
     with pytest.raises(ValueError):
         # 12 frames not divisible by 8 shards x tubelet 2
         seq_parallel_tokens(sp, {}, videos[:, :12], mesh)
+
+
+def test_sp_stochastic_requires_rng():
+    mesh = make_sp_mesh(4)
+    sp = VideoViT(**TINY, seq_axis=SEQ_AXIS, seq_shards=4)
+    with pytest.raises(ValueError, match="requires rng"):
+        seq_parallel_tokens(sp, {}, _videos(), mesh, deterministic=False)
+
+
+def test_sp_drop_path_consistent_across_token_shards():
+    """Per-sample drop_path decisions must agree on every token shard of a
+    sample: the sharded run must equal an unsharded run whose drop_path
+    stream is the same per-data-shard folded key (VERDICT r2 item 7)."""
+    seq = 4
+    mesh = make_sp_mesh(seq)  # data axis = 2
+    cfg = dict(TINY, drop_path_rate=0.7)
+    ref = VideoViT(**cfg)
+    sp = VideoViT(**cfg, seq_axis=SEQ_AXIS, seq_shards=seq)
+    videos = _videos()
+    params = ref.init({"params": jax.random.PRNGKey(0)}, videos)["params"]
+
+    key = jax.random.PRNGKey(5)
+    tok_sp = seq_parallel_tokens(
+        sp, params, videos, mesh, deterministic=False, rng=key
+    )
+
+    # reproduce per-data-shard folding on the unsharded model (data=2)
+    _, dp_key = jax.random.split(key)
+    outs = []
+    b_local = videos.shape[0] // mesh.shape["data"]
+    for di in range(mesh.shape["data"]):
+        v = videos[di * b_local : (di + 1) * b_local]
+        outs.append(
+            ref.apply(
+                {"params": params}, v, False,
+                rngs={"drop_path": jax.random.fold_in(dp_key, di)},
+            )
+        )
+    tok_ref = jnp.concatenate(outs, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(tok_sp), np.asarray(tok_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_sp_dropout_masks_differ_per_shard_and_match_expectation():
+    """Token-level dropout must draw a different mask on every token shard
+    (a shared stream would repeat the pattern), and the stochastic SP run
+    must stay finite and differ between keys."""
+    seq = 4
+    mesh = make_sp_mesh(seq)
+    cfg = dict(TINY, depth=1, drop_rate=0.5)
+    sp = VideoViT(**cfg, seq_axis=SEQ_AXIS, seq_shards=seq)
+    ref = VideoViT(**cfg)
+    videos = _videos()
+    params = ref.init({"params": jax.random.PRNGKey(0)}, videos)["params"]
+
+    tok = np.asarray(
+        seq_parallel_tokens(
+            sp, params, videos, mesh, deterministic=False,
+            rng=jax.random.PRNGKey(1),
+        )
+    )
+    assert np.isfinite(tok).all()
+    # shard-block token patterns must differ between shards: compare the
+    # dropout-mask fingerprint (zeros pattern of the pos_drop output ripple)
+    # via pairwise shard-block differences on a sample
+    N = tok.shape[1]
+    blocks = tok[:, : N // seq], tok[:, N // seq : 2 * (N // seq)]
+    assert not np.allclose(blocks[0], blocks[1])
+    # different keys -> different draws
+    tok2 = np.asarray(
+        seq_parallel_tokens(
+            sp, params, videos, mesh, deterministic=False,
+            rng=jax.random.PRNGKey(2),
+        )
+    )
+    assert not np.allclose(tok, tok2)
+
+
+def test_sp_stochastic_grads_finite():
+    """A full stochastic SP backward (dropout 0.1 + drop_path 0.2, the
+    published UCF recipe's regularization, docs/TRAIN.md:118)."""
+    seq = 4
+    mesh = make_sp_mesh(seq)
+    cfg = dict(TINY, drop_rate=0.1, drop_path_rate=0.2)
+    sp = VideoViT(**cfg, seq_axis=SEQ_AXIS, seq_shards=seq)
+    videos = _videos()
+    # init with the unsharded twin (axis_index is unbound outside shard_map)
+    params = VideoViT(**cfg).init({"params": jax.random.PRNGKey(0)}, videos)["params"]
+
+    def loss(p):
+        t = seq_parallel_tokens(
+            sp, p, videos, mesh, deterministic=False, rng=jax.random.PRNGKey(3)
+        )
+        return (t.astype(jnp.float32) ** 2).mean()
+
+    g = jax.jit(jax.grad(loss))(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()

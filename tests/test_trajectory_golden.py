@@ -113,6 +113,10 @@ def _build_reference():
 
 
 def _run_reference(net, teacher, batches, n_opt_steps, update_freq):
+    # the engine calls torch.cuda.synchronize() unconditionally
+    # (engine_for_slot.py:171); a device sync is a no-op on CPU
+    if not torch.cuda.is_available():
+        torch.cuda.synchronize = lambda *a, **k: None
     args = types.SimpleNamespace(
         opt="adamw", lr=LR, weight_decay=WD, opt_eps=1e-8, opt_betas=None,
         momentum=0.9,
@@ -129,8 +133,12 @@ def _run_reference(net, teacher, batches, n_opt_steps, update_freq):
     # default (0.1) — create_optimizer has no flag, the factory default IS
     # the recipe value (ref optim_factory.py:49, docs/TRAIN.md:48)
     total_iters = n_opt_steps
+    # warmup_epochs>0 gates the warmup array build; warmup_steps overrides
+    # the iteration count (ref utils/utils.py:424-430 — run scripts pass
+    # both, run_slot_finetuning.py:572-576)
     lr_sched = ref_utils.cosine_scheduler(
-        LR, MIN_LR, 1, total_iters, warmup_steps=WARMUP, start_warmup_value=0.0
+        LR, MIN_LR, 1, total_iters, warmup_epochs=1, warmup_steps=WARMUP,
+        start_warmup_value=0.0,
     )
     wd_sched = ref_utils.cosine_scheduler(WD, WD_END, 1, total_iters)
     criterion = torch.nn.CrossEntropyLoss()
@@ -146,6 +154,11 @@ def _run_reference(net, teacher, batches, n_opt_steps, update_freq):
         for v, l in batches
     ]
     scaler = ref_utils.NativeScalerWithGradNormCount()
+    # on CPU the GradScaler is disabled (pure passthrough — f32 math, which
+    # is exactly what we want) but its state_dict is empty; the engine reads
+    # ['scale'] for metrics only (engine_for_slot.py:169)
+    _orig_sd = scaler._scaler.state_dict
+    scaler._scaler.state_dict = lambda: {"scale": 1.0, **_orig_sd()}
     stats = engine_for_slot.train_one_epoch(
         net, teacher, train_criterion, loader, optimizer,
         torch.device("cpu"), epoch=0, loss_scaler=scaler, max_norm=None,
