@@ -126,12 +126,12 @@ def main():
         model = create_model(
             "slot_vit_base_patch16_224", num_classes=4, num_scene_classes=365,
             num_latents=2, agg_depth=8, agg_weights_tie=True,
-            dtype=jnp.bfloat16, fused_attention=True,
+            dtype=jnp.bfloat16, fused_attention=True, patch_embed_conv=False,
             input_norm=args.device_normalize,
         )
         teacher = create_model(
             "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,
-            dtype=jnp.bfloat16, fused_attention=True,
+            dtype=jnp.bfloat16, fused_attention=True, patch_embed_conv=False,
             input_norm=args.device_normalize,
         )
         x0 = jnp.zeros((B, 16, args.input, args.input, 3), jnp.float32)

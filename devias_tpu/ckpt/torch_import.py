@@ -72,10 +72,11 @@ def interpolate_pos_embed(
 
 
 def _linear(sd, name):
-    """torch Linear -> (kernel [in,out], bias or None)."""
+    """torch Linear -> (kernel [in,out], bias or None). Copies both (a
+    state-dict numpy view would alias live torch storage)."""
     w = sd[f"{name}.weight"].T.copy()
     b = sd.get(f"{name}.bias")
-    return w, b
+    return w, None if b is None else b.copy()
 
 
 def _ln(sd, name):
@@ -219,6 +220,13 @@ def import_torch_state_dict(
     Returns a partial tree — merge over a freshly initialized tree with
     `merge_params`.
     """
+    valid = ("slot", "plain", "multi_task", "slot_fusion", "backbone")
+    if model_kind not in valid:
+        # a silent fallthrough would import the backbone but drop heads /
+        # norms — a correctness trap (an unknown kind once cost a debugging
+        # session: the teacher head stayed random-init and only the scene
+        # loss drifted)
+        raise ValueError(f"unknown model_kind {model_kind!r}; expected one of {valid}")
     sd = strip_prefixes(sd)
     p: Dict[str, Any] = {
         "backbone": _backbone_params(

@@ -179,7 +179,21 @@ def device_prefetch(iterator, size: int = 2, sharding=None, transfer=None):
         return jax.device_put(x)
 
     if transfer is None:
-        transfer = lambda batch: jax.tree.map(put_leaf, batch)  # noqa: E731
+
+        def transfer(batch):
+            out = jax.tree.map(put_leaf, batch)
+            # Force the upload to finish NOW, on this worker thread: over a
+            # device relay `device_put` returns in ~28 ms but the bytes move
+            # lazily/serially (~0.73 s for a 29 MB batch, measured) — left
+            # unforced, the consumer's step pulls them itself and the
+            # transfer serializes with compute. A dependent one-element
+            # fetch blocks this thread until the array is device-resident;
+            # host decode keeps running meanwhile (the wait is network, not
+            # CPU: 0.04 s process time per batch).
+            for leaf in jax.tree.leaves(out):
+                if hasattr(leaf, "shape") and getattr(leaf, "size", 0):
+                    jax.device_get(leaf[(0,) * leaf.ndim])
+            return out
 
     q: queue.Queue = queue.Queue(maxsize=max(size, 1))
     stop = threading.Event()

@@ -226,13 +226,26 @@ def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, *stats_ref, scale: float, D: int)
     pay the extra HBM writes)."""
     hpb = q_ref.shape[-1] // D
     q = q_ref[0] * scale
-    cols = []
-    for h in range(hpb):
+    # software pipeline across the side-by-side heads: issue head h+1's
+    # s-matmul (MXU) before head h's softmax (VPU), and head h's e@V before
+    # head h+1's softmax — the units overlap instead of serializing.
+    # Profiled serial form: 1.148 ms/layer == MXU time (0.77) + VPU time
+    # (0.37) exactly; the independent per-head chains are what the
+    # in-order-issue core needs to hide the exp passes.
+    def _s(h):
         sl = slice(h * D, (h + 1) * D)
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q[:, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    cols = []
+    s_next = _s(0)
+    for h in range(hpb):
+        sl = slice(h * D, (h + 1) * D)
+        s = s_next
+        if h + 1 < hpb:
+            s_next = _s(h + 1)  # MXU ahead of this head's VPU work
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         l = e.sum(axis=-1, keepdims=True)
@@ -263,24 +276,36 @@ def _bwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, do_ref, stats_ref,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
+    # software pipeline across the side-by-side heads (same idea as the
+    # forward): every head's s-matmul (MXU) is hoisted ahead of the first
+    # head's VPU passes, and each head's dP matmul issues at the TOP of its
+    # iteration — so e_h (which depends only on s_h) executes on the VPU
+    # while the MXU works through dP_h and the previous head's three output
+    # matmuls. The serial form measured 2.60 ms/layer = MXU time + ~0.7 ms
+    # of unoverlapped VPU. Only the s tiles stay live across heads, keeping
+    # whole-N q-blocks inside the VMEM budget.
+    s_all = []
+    for h in range(hpb):
+        sl = slice(h * D, (h + 1) * D)
+        s_all.append(jax.lax.dot_general(
+            q_ref[0, :, sl] * scale, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
     for h in range(hpb):
         sl = slice(h * D, (h + 1) * D)
         q = q_ref[0, :, sl]
         k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]
-        s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        dp = jax.lax.dot_general(
+            do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         m = stats_ref[0, 0, :, h][:, None]
-        e = jnp.exp(s - m)
+        e = jnp.exp(s_all[h] - m)
         inv_l = (1.0 / stats_ref[0, 0, :, hpb + h])[:, None]
         d_row = jnp.sum(
             do.astype(jnp.float32) * o_ref[0, :, sl].astype(jnp.float32),
             axis=-1, keepdims=True,
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         t = (e * (dp - d_row)).astype(q.dtype)
         e_b = e.astype(q.dtype)
@@ -330,7 +355,7 @@ def _fwd_call_qkv(qkv, H: int, scale: float, block_q: Optional[int], interpret: 
     D = W3 // (3 * H)
     hpb = 1 if interpret else _heads_per_block(H, D)
     G = H // hpb  # head-group blocks per component
-    bq = block_q or _vmem_block(N, preferred=784, f32_tiles=2.5)
+    bq = block_q or _vmem_block(N, preferred=784, f32_tiles=3.5)
     grid = (B, G, N // bq)
     W = hpb * D
     SW = _stats_width(hpb)
@@ -368,7 +393,7 @@ def _bwd_call_qkv(qkv, o, do, stats, H: int, scale: float, block_q: Optional[int
     D = W3 // (3 * H)
     hpb = 1 if interpret else _heads_per_block(H, D)
     G = H // hpb
-    bq = block_q or _vmem_block(N, preferred=1568, f32_tiles=3.5)
+    bq = block_q or _vmem_block(N, preferred=1568, f32_tiles=4.5)
     grid = (B, G, N // bq)
     W = hpb * D
     dq, dk, dv = pl.pallas_call(

@@ -40,11 +40,11 @@ def run_and_trace(out_dir: str, steps: int):
     model = create_model(
         "slot_vit_base_patch16_224", num_classes=400, num_scene_classes=365,
         num_latents=2, agg_depth=8, agg_weights_tie=True, dtype=jnp.bfloat16,
-        fused_attention=True,
+        fused_attention=True, patch_embed_conv=False,
     )
     teacher = create_model(
         "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,
-        dtype=jnp.bfloat16, fused_attention=True,
+        dtype=jnp.bfloat16, fused_attention=True, patch_embed_conv=False,
     )
     x = jnp.zeros((BATCH, 16, 224, 224, 3), jnp.float32)
     params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)["params"]

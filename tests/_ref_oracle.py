@@ -290,4 +290,9 @@ def load_reference():
 def torch_state_dict_to_numpy(module):
     import numpy as np  # noqa: F401
 
-    return {k: v.detach().cpu().float().numpy() for k, v in module.state_dict().items()}
+    # .copy(): .numpy() returns a VIEW of the live parameter — snapshots
+    # taken before training would otherwise silently track the updates
+    return {
+        k: v.detach().cpu().float().numpy().copy()
+        for k, v in module.state_dict().items()
+    }

@@ -138,3 +138,43 @@ def test_droppath_train_vs_eval():
         rngs={"drop_path": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
     )
     assert not np.allclose(out_train["logits"], out_eval["logits"])
+
+
+def test_slot_round_custom_vjp_matches_autodiff():
+    """The hand-written slot_round backward (agg.py) must equal plain
+    autodiff of the same math — including the sim_distill cotangent path
+    the last round's distill loss feeds (ref train_loss.py:94-97)."""
+    import jax
+    import jax.numpy as jnp
+
+    from devias_tpu.nn.agg import _slot_round_fwd_math, slot_round
+
+    B, S, N, h, dh, D = 2, 3, 40, 4, 16, 32
+    rng = np.random.default_rng(0)
+    args = (
+        jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, N, h, dh)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, N, h, dh)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(D, h * dh)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(h * dh, D)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(D,)).astype(np.float32)),
+    )
+    scale = dh**-0.5
+    w_out = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    w_p = jnp.asarray(rng.normal(size=(B, h, S, N)).astype(np.float32))
+
+    def loss_custom(*a):
+        out, P = slot_round(*a, scale, h, dh)
+        return (out * w_out).sum() + (P * w_p).sum()
+
+    def loss_auto(*a):
+        out, P, _, _, _ = _slot_round_fwd_math(*a, scale, h, dh)
+        return (out * w_out).sum() + (P * w_p).sum()
+
+    g_c = jax.grad(loss_custom, argnums=tuple(range(6)))(*args)
+    g_a = jax.grad(loss_auto, argnums=tuple(range(6)))(*args)
+    for i, (a, b) in enumerate(zip(g_c, g_a)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
+            err_msg=f"grad arg {i}",
+        )

@@ -221,3 +221,23 @@ def test_frame_masks_and_train_step_end_to_end():
         lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_b3_geometry_logits_parity_vs_hf():
+    """Full b3 geometry golden (VERDICT r2 item 5: the prior golden ran a
+    reduced geometry). Exercises the real depths (3,4,18,3), dims
+    (64,128,320,512), sr ratios, and the 18-block stage-3 at a reduced
+    input resolution (geometry, not resolution, is what the b0 golden
+    missed)."""
+    cfg = segformer_b3()
+    hf = _hf_model(cfg)
+    x = np.random.default_rng(2).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x).permute(0, 3, 1, 2)).logits
+    params = import_segformer_params(hf.state_dict(), cfg)
+    ours = Segformer(cfg, dtype=jnp.float32).apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(), atol=5e-4, rtol=1e-3
+    )

