@@ -83,7 +83,7 @@ def main():
     n_clips = args.batches * B
 
     with tempfile.TemporaryDirectory() as root:
-        rows = make_videos(root)
+        rows = make_videos(root, n=24)
         anno = os.path.join(root, "train.csv")
         with open(anno, "w") as f:
             f.write("\n".join(rows))
@@ -109,7 +109,12 @@ def main():
                     yield from loader
                     epoch += 1
 
-            return forever()
+            # epoch-crossing host prefetch: the loader's producer thread
+            # dies at each epoch end and `yield from` only restarts it on
+            # the next pull — without this stage, decode of epoch k+1
+            # cannot overlap the transfer of epoch k's last batch (fatal
+            # for the small benchmark dataset where epochs are short)
+            return device_prefetch(forever(), size=2, transfer=lambda b: b)
 
         # --- host-only rate (decode + augment, nothing device-side) ---
         it = fresh_loader()
@@ -181,6 +186,7 @@ def main():
                 break
         jax.device_get(metrics["loss"])
         e2e_rate = n_e2e / (time.perf_counter() - t0)
+        it.close()  # join the transfer thread before interpreter teardown
 
     print(
         json.dumps(

@@ -233,8 +233,11 @@ def device_prefetch(iterator, size: int = 2, sharding=None, transfer=None):
             yield item
     finally:
         stop.set()
-        while True:  # unblock a worker parked on a full queue
-            try:
+        try:
+            while not q.empty():  # unblock a worker parked on a full queue
                 q.get_nowait()
-            except queue.Empty:
-                break
+        except BaseException:
+            pass  # interpreter teardown can invalidate queue internals
+        # wait for an in-flight transfer to land: a daemon thread killed
+        # mid-device_get at process exit aborts the runtime's C++ layer
+        t.join(timeout=5.0)

@@ -414,8 +414,10 @@ def _bwd_call_qkv(qkv, o, do, stats, H: int, scale: float, block_q: Optional[int
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N, H * D), qkv.dtype),
-            jax.ShapeDtypeStruct((B, N, H * D), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, H * D), jnp.float32),
+            # dk/dv accumulate in f32 VMEM scratch; the HBM write narrows
+            # to the input dtype (the Dense backward consumes bf16 anyway)
+            jax.ShapeDtypeStruct((B, N, H * D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, N, H * D), qkv.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((N, W), jnp.float32),
@@ -429,7 +431,7 @@ def _bwd_call_qkv(qkv, o, do, stats, H: int, scale: float, block_q: Optional[int
         ),
     )(qkv, qkv, qkv, o, do, stats)
     # dqkv in the Dense layout; the casts fuse into the concat write
-    return jnp.concatenate([dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)], axis=-1)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
@@ -581,8 +583,8 @@ def _bwd_call_q_kv(q, kv, o, do, stats, H: int, scale: float, block_q: Optional[
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Nq, H * D), q.dtype),
-            jax.ShapeDtypeStruct((B, Nk, H * D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Nk, H * D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Nk, H * D), kv.dtype),
+            jax.ShapeDtypeStruct((B, Nk, H * D), kv.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((Nk, W), jnp.float32),
@@ -596,7 +598,7 @@ def _bwd_call_q_kv(q, kv, o, do, stats, H: int, scale: float, block_q: Optional[
             transcendentals=B * H * Nq * Nk,
         ),
     )(q, kv, kv, o, do, stats)
-    dkv = jnp.concatenate([dk.astype(kv.dtype), dv.astype(kv.dtype)], axis=-1)
+    dkv = jnp.concatenate([dk, dv], axis=-1)
     return dq, dkv
 
 

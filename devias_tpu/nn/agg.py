@@ -99,6 +99,172 @@ def _slot_round_bwd(scale, heads, dim_head, res, cts):
 slot_round.defvjp(_slot_round_fwd, _slot_round_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Tied-stack fast path: all `depth` rounds under ONE custom VJP.
+#
+# Why: with hoisted K/V, plain autodiff materializes a per-round dK/dV
+# contribution [B, N, heads*dim_head] and sums them — at the flagship
+# geometry that is 16 x 77 MB of HBM writes plus the adds (~2.2 ms/step,
+# the agg backward's dominant cost, profiled round 3). The hand-written
+# backward below keeps only the TINY per-round tensors (P, dsim, do, q —
+# S=2 rows) and reduces dK/dV with two stacked einsums that write each
+# gradient exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _ln_f(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = jnp.square(xf - mu).mean(axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    y = ((xf - mu) * inv * scale + bias).astype(x.dtype)
+    return y, (mu, inv)
+
+
+def _ln_bwd_f(dy, x, mu, inv, scale):
+    """Returns (dx f32, dscale, dbias)."""
+    xf = x.astype(jnp.float32)
+    xhat = (xf - mu) * inv
+    dyf = dy.astype(jnp.float32)
+    red = tuple(range(dy.ndim - 1))
+    dscale = (dyf * xhat).sum(red)
+    dbias = dyf.sum(red)
+    t = dyf * scale
+    dx = inv * (t - t.mean(-1, keepdims=True) - xhat * (t * xhat).mean(-1, keepdims=True))
+    return dx, dscale, dbias
+
+
+_SQRT2 = 1.4142135623730951
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_exact(x):
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + jax.lax.erf(xf / _SQRT2))).astype(x.dtype)
+
+
+def _gelu_exact_grad(x):
+    xf = x.astype(jnp.float32)
+    phi = 0.5 * (1.0 + jax.lax.erf(xf / _SQRT2))
+    pdf = jnp.exp(-0.5 * xf * xf) * _INV_SQRT_2PI
+    return phi + xf * pdf
+
+
+def _round_fwd(x, k, v, w, scale, heads, dim_head, eps):
+    (nq_s, nq_b, wq, wo, bo, nf_s, nf_b, w1, b1, w2, b2) = w
+    xn, (mu_q, inv_q) = _ln_f(x, nq_s, nq_b, eps)
+    out, P, r, A, o = _slot_round_fwd_math(xn, k, v, wq, wo, bo, scale, heads, dim_head)
+    x1 = out + x
+    yn, (mu_f, inv_f) = _ln_f(x1, nf_s, nf_b, eps)
+    h1 = yn @ w1 + b1
+    x2 = _gelu_exact(h1) @ w2 + b2 + x1
+    save = (x, xn, mu_q, inv_q, P, r, A, o, x1, yn, mu_f, inv_f, h1)
+    return x2, P, save
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def tied_agg_stack(x, k, v, depth, heads, dim_head, eps, w):
+    """`depth` tied rounds of (PreNorm slot cross-attn + residual, PreNorm
+    FF + residual) over hoisted K/V. Returns (x_final, P_last).
+
+    w (static pytree of arrays, all already cast to the compute dtype):
+    (norm_q scale/bias, wq, wo, bo, norm_ff scale/bias, fc1 kernel/bias,
+    fc2 kernel/bias)."""
+    scale = dim_head**-0.5
+    P = None
+    for _ in range(depth):
+        x, P, _ = _round_fwd(x, k, v, w, scale, heads, dim_head, eps)
+    return x, P
+
+
+def _tas_fwd(x, k, v, depth, heads, dim_head, eps, w):
+    scale = dim_head**-0.5
+    saves = []
+    P = None
+    for _ in range(depth):
+        x, P, save = _round_fwd(x, k, v, w, scale, heads, dim_head, eps)
+        saves.append(save)
+    return (x, P), (k, v, w, saves)
+
+
+def _tas_bwd(depth, heads, dim_head, eps, res, cts):
+    k, v, w, saves = res
+    dx_ct, dP_ct = cts
+    (nq_s, nq_b, wq, wo, bo, nf_s, nf_b, w1, b1, w2, b2) = w
+    scale = dim_head**-0.5
+    B, S, D = saves[0][0].shape
+    dt = saves[0][0].dtype
+    inner = heads * dim_head
+
+    zeros = lambda a: jnp.zeros(a.shape, jnp.float32)  # noqa: E731
+    d_nq_s, d_nq_b = zeros(nq_s), zeros(nq_b)
+    d_nf_s, d_nf_b = zeros(nf_s), zeros(nf_b)
+    d_wq, d_wo, d_bo = zeros(wq), zeros(wo), zeros(bo)
+    d_w1, d_b1, d_w2, d_b2 = zeros(w1), zeros(b1), zeros(w2), zeros(b2)
+
+    dsim_rounds, q_rounds, A_rounds, do_rounds = [], [], [], []
+    dx = dx_ct.astype(jnp.float32)
+    for t in reversed(range(depth)):
+        (x_in, xn, mu_q, inv_q, P, r, A, o, x1, yn, mu_f, inv_f, h1) = saves[t]
+        dxb = dx.astype(dt)
+        # FF branch: x2 = gelu(h1) @ w2 + b2 + x1
+        g = _gelu_exact(h1)
+        dg = dxb @ w2.T
+        d_w2 += jnp.einsum("bsf,bsd->fd", g.astype(jnp.float32), dx)
+        d_b2 += dx.sum(axis=(0, 1))
+        dh1 = (dg.astype(jnp.float32) * _gelu_exact_grad(h1)).astype(dt)
+        dyn = dh1 @ w1.T
+        d_w1 += jnp.einsum("bsd,bsf->df", yn.astype(jnp.float32), dh1.astype(jnp.float32))
+        d_b1 += dh1.astype(jnp.float32).sum(axis=(0, 1))
+        dxn_f, ds, db = _ln_bwd_f(dyn, x1, mu_f, inv_f, nf_s)
+        d_nf_s += ds
+        d_nf_b += db
+        dx1 = dx + dxn_f  # residual + LN path, f32
+
+        # attention branch: x1 = (o @ wo + bo) + x_in
+        dout = dx1.astype(dt)
+        d_wo += jnp.einsum("bsi,bsd->id", o.astype(jnp.float32), dx1)
+        d_bo += dx1.sum(axis=(0, 1))
+        do = (dout @ wo.T).reshape(B, S, heads, dim_head)
+        dA = jnp.einsum("bshd,bnhd->bhsn", do, v).astype(jnp.float32)
+        dP = dA / r - (dA * P).sum(axis=-1, keepdims=True) / jnp.square(r)
+        if t == depth - 1 and dP_ct is not None:
+            dP = dP + dP_ct.astype(jnp.float32)
+        dsim = (P * (dP - (dP * P).sum(axis=2, keepdims=True))).astype(dt) * scale
+        q = (xn @ wq).reshape(B, S, heads, dim_head)
+        dq = jnp.einsum("bhsn,bnhd->bshd", dsim, k)
+        dq2 = dq.reshape(B, S, inner)
+        d_wq += jnp.einsum("bsd,bsi->di", xn.astype(jnp.float32), dq2.astype(jnp.float32))
+        dxq_f, ds, db = _ln_bwd_f(dq2 @ wq.T, x_in, mu_q, inv_q, nq_s)
+        d_nq_s += ds
+        d_nq_b += db
+        dx = dx1 + dxq_f
+
+        dsim_rounds.append(dsim)
+        q_rounds.append(q)
+        A_rounds.append(A)
+        do_rounds.append(do)
+
+    # dK/dV reduced over ALL rounds in one einsum each: contraction over
+    # (round, slot) writes each [B, N, h, dh] gradient exactly once
+    dsim_all = jnp.stack(dsim_rounds)
+    q_all = jnp.stack(q_rounds)
+    A_all = jnp.stack(A_rounds)
+    do_all = jnp.stack(do_rounds)
+    dk = jnp.einsum("tbhsn,tbshd->bnhd", dsim_all, q_all)
+    dv = jnp.einsum("tbhsn,tbshd->bnhd", A_all, do_all)
+
+    dw = (
+        d_nq_s.astype(dt), d_nq_b.astype(dt), d_wq.astype(dt), d_wo.astype(dt),
+        d_bo.astype(dt), d_nf_s.astype(dt), d_nf_b.astype(dt), d_w1.astype(dt),
+        d_b1.astype(dt), d_w2.astype(dt), d_b2.astype(dt),
+    )
+    return dx.astype(dt), dk, dv, dw
+
+
+tied_agg_stack.defvjp(_tas_fwd, _tas_bwd)
+
+
 class _Kernel(nn.Module):
     """Param holder producing the same tree path as nn.Dense
     ('<name>/kernel' [+ '/bias']) so fused and unfused paths share
@@ -114,6 +280,20 @@ class _Kernel(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32)
             return k, b
         return k
+
+
+class _LNParam(nn.Module):
+    """LayerNorm param holder (same 'scale'/'bias' tree paths as
+    nn.LayerNorm); the normalization math runs in _ln_f so the tied-stack
+    custom VJP and the per-round path share one formulation."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
 
 
 class SlotCrossAttention(nn.Module):
@@ -180,7 +360,7 @@ class _AggLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.norm_q = nn.LayerNorm(epsilon=TORCH_LN_EPS, dtype=self.dtype, name="norm_q")
+        self.norm_q = _LNParam(self.latent_dim, name="norm_q")
         self.norm_context = nn.LayerNorm(
             epsilon=TORCH_LN_EPS, dtype=self.dtype, name="norm_context"
         )
@@ -193,25 +373,45 @@ class _AggLayer(nn.Module):
             dtype=self.dtype,
             name="cross_attn",
         )
-        self.norm_ff = nn.LayerNorm(epsilon=TORCH_LN_EPS, dtype=self.dtype, name="norm_ff")
-        self.ff_fc1 = nn.Dense(
-            self.latent_dim * self.ff_mult, dtype=self.dtype, kernel_init=trunc02, name="ff_fc1"
+        self.norm_ff = _LNParam(self.latent_dim, name="norm_ff")
+        self.ff_fc1 = _Kernel(
+            (self.latent_dim, self.latent_dim * self.ff_mult), use_bias=True, name="ff_fc1"
         )
-        self.ff_fc2 = nn.Dense(
-            self.latent_dim, dtype=self.dtype, kernel_init=trunc02, name="ff_fc2"
+        self.ff_fc2 = _Kernel(
+            (self.latent_dim * self.ff_mult, self.latent_dim), use_bias=True, name="ff_fc2"
         )
         self.ff_drop = nn.Dropout(self.ff_dropout)
 
+    def weights(self):
+        """All round weights cast to the compute dtype, in tied_agg_stack
+        order: (nq_s, nq_b, wq, wo, bo, nf_s, nf_b, w1, b1, w2, b2)."""
+        c = lambda a: a.astype(self.dtype)  # noqa: E731
+        nq_s, nq_b = self.norm_q()
+        nf_s, nf_b = self.norm_ff()
+        wq = self.cross_attn.to_q()
+        wo, bo = self.cross_attn.to_out()
+        w1, b1 = self.ff_fc1()
+        w2, b2 = self.ff_fc2()
+        return tuple(c(a) for a in (nq_s, nq_b, wq, wo, bo, nf_s, nf_b, w1, b1, w2, b2))
+
     def __call__(self, x, k, v, deterministic: bool = True):
-        attn_out, sim = self.cross_attn(self.norm_q(x), k, v, deterministic=deterministic)
+        w = self.weights()
+        (nq_s, nq_b, _, _, _, nf_s, nf_b, w1, b1, w2, b2) = w
+        xn, _ = _ln_f(x, nq_s, nq_b, TORCH_LN_EPS)
+        attn_out, sim = self.cross_attn(xn, k, v, deterministic=deterministic)
         x = attn_out + x
-        y = self.norm_ff(x)
-        y = self.ff_fc1(y)
-        y = nn.gelu(y, approximate=False)
+        y, _ = _ln_f(x, nf_s, nf_b, TORCH_LN_EPS)
+        y = _gelu_exact(y @ w1 + b1)
         y = self.ff_drop(y, deterministic=deterministic)
-        y = self.ff_fc2(y)
-        x = y + x
+        x = y @ w2 + b2 + x
         return x, sim
+
+    def stack(self, x, k, v, depth: int):
+        """All `depth` tied rounds under the single custom VJP (see
+        tied_agg_stack) — the deterministic/no-dropout fast path."""
+        return tied_agg_stack(
+            x, k, v, depth, self.heads, self.dim_head, TORCH_LN_EPS, self.weights()
+        )
 
     def project_kv(self, context, k_pos=None):
         """Context LN + K/V projections, computed once per unique layer."""
@@ -286,10 +486,17 @@ class AggregationBlock(nn.Module):
         # rounds before one projection backward).
         kv = [layer.project_kv(context, k_pos=k_pos) for layer in layers]
 
-        sim = None
-        for i in range(self.depth):
-            j = 0 if self.weight_tie else i
-            x, sim = layers[j](x, kv[j][0], kv[j][1], deterministic=deterministic)
+        stochastic = not deterministic and (self.attn_dropout > 0 or self.ff_dropout > 0)
+        if self.weight_tie and not stochastic:
+            # all rounds under one custom VJP: dK/dV reduced across rounds
+            # by single stacked einsums instead of per-round [B, N, inner]
+            # materializations (see tied_agg_stack)
+            x, sim = layers[0].stack(x, kv[0][0], kv[0][1], self.depth)
+        else:
+            sim = None
+            for i in range(self.depth):
+                j = 0 if self.weight_tie else i
+                x, sim = layers[j](x, kv[j][0], kv[j][1], deterministic=deterministic)
 
         if self.last_ln:
             x = nn.LayerNorm(

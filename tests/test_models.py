@@ -178,3 +178,50 @@ def test_slot_round_custom_vjp_matches_autodiff():
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
             err_msg=f"grad arg {i}",
         )
+
+
+def test_tied_stack_matches_per_round_loop():
+    """tied_agg_stack (one custom VJP over all rounds, stacked dK/dV
+    reduction) must equal the per-round loop in outputs AND gradients,
+    including the last-round sim cotangent."""
+    import jax
+    import jax.numpy as jnp
+
+    from devias_tpu.nn.agg import TORCH_LN_EPS, _round_fwd, tied_agg_stack
+
+    B, S, N, h, dh, D, T = 2, 2, 48, 4, 16, 32, 3
+    rng = np.random.default_rng(3)
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.2)
+    x = f(B, S, D)
+    k = f(B, N, h, dh)
+    v = f(B, N, h, dh)
+    w = (
+        jnp.ones(D), f(D), f(D, h * dh), f(h * dh, D), f(D),
+        jnp.ones(D), f(D), f(D, 4 * D), f(4 * D), f(4 * D, D), f(D),
+    )
+    w_out = f(B, S, D)
+    w_p = f(B, h, S, N)
+    scale = dh**-0.5
+
+    def loop_ref(x, k, v, w):
+        P = None
+        for _ in range(T):
+            x, P, _ = _round_fwd(x, k, v, w, scale, h, dh, TORCH_LN_EPS)
+        return x, P
+
+    def loss(fn, x, k, v, w):
+        out, P = fn(x, k, v, w)
+        return (out * w_out).sum() + (P * w_p).sum()
+
+    stacked = lambda x, k, v, w: tied_agg_stack(x, k, v, T, h, dh, TORCH_LN_EPS, w)
+    o_s = stacked(x, k, v, w)
+    o_r = loop_ref(x, k, v, w)
+    np.testing.assert_allclose(np.asarray(o_s[0]), np.asarray(o_r[0]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o_s[1]), np.asarray(o_r[1]), rtol=2e-5, atol=2e-5)
+
+    g_s = jax.grad(lambda *a: loss(stacked, *a), argnums=(0, 1, 2, 3))(x, k, v, w)
+    g_r = jax.grad(lambda *a: loss(loop_ref, *a), argnums=(0, 1, 2, 3))(x, k, v, w)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
+        )
