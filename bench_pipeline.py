@@ -61,7 +61,15 @@ def main():
     ap.add_argument(
         "--device_normalize", action=argparse.BooleanOptionalAction, default=True
     )
+    ap.add_argument(
+        "--wire", choices=["rgb", "yuv420"], default="yuv420",
+        help="train-clip wire format: yuv420 ships I420 planes (half the "
+        "uint8 bytes, device-side unpack; data/yuv.py) — the default for "
+        "the training pipeline; rgb ships raw RGB bytes",
+    )
     args = ap.parse_args()
+    if args.wire == "yuv420" and not args.device_normalize:
+        ap.error("--wire yuv420 requires device normalization")
 
     import jax
 
@@ -93,6 +101,7 @@ def main():
             num_frames=16, sampling_rate=4, input_size=args.input,
             short_side_size=args.input, nb_classes=4,
             host_normalize=not args.device_normalize,
+            wire_format=args.wire,
         )
         ds, _ = build_dataset(True, False, cfg)
 
@@ -151,6 +160,7 @@ def main():
                 TrainStepConfig(
                     use_fame=True, fame=FAMEConfig(beta=0.5, prob_aug=0.8),
                     device_normalize=args.device_normalize,
+                    wire_format=args.wire,
                 ),
                 lr_fn,
             ),
@@ -159,7 +169,11 @@ def main():
 
         # --- device-only rate (preloaded synthetic batch) ---
         rng = np.random.default_rng(0)
-        if args.device_normalize:
+        if args.wire == "yuv420":
+            vids = rng.integers(
+                0, 255, size=(B, 16, args.input * 3 // 2, args.input)
+            ).astype(np.uint8)
+        elif args.device_normalize:
             vids = rng.integers(0, 255, size=(B, 16, args.input, args.input, 3)).astype(np.uint8)
         else:
             vids = rng.normal(size=(B, 16, args.input, args.input, 3)).astype(np.float32)
@@ -177,12 +191,16 @@ def main():
         it = device_prefetch(fresh_loader(), size=2)
         first = next(it)  # exclude first-decode warmup from the timed window
         state, metrics = step(state, tparams, first, jax.random.PRNGKey(0))
+        # the timed window must dominate the pipeline's internal buffering
+        # (loader prefetch + two prefetch-stage queues ~ 6 batches) or the
+        # drain of pre-filled queues inflates the rate past the host rate
+        n_target = max(n_clips, 10 * B)
         t0 = time.perf_counter()
         n_e2e = 0
         for batch in it:
             state, metrics = step(state, tparams, batch, jax.random.PRNGKey(0))
             n_e2e += B
-            if n_e2e >= n_clips:
+            if n_e2e >= n_target:
                 break
         jax.device_get(metrics["loss"])
         e2e_rate = n_e2e / (time.perf_counter() - t0)
@@ -199,6 +217,7 @@ def main():
                 "e2e_clips_per_sec": round(e2e_rate, 2),
                 "num_workers": args.num_workers,
                 "host_cores": os.cpu_count(),
+                "wire": args.wire,
             }
         )
     )

@@ -63,6 +63,11 @@ class DataConfig:
     # the device (models built with input_norm=True) — 4x smaller
     # host->device transfers, ~30% host-side augmentation savings
     host_normalize: bool = True
+    # 'yuv420' additionally repacks TRAIN clips as I420 planes (half the
+    # uint8 bytes; data/yuv.py) — requires host_normalize=False, and the
+    # step must be built with wire_format='yuv420'. Val/test always ship
+    # exact RGB.
+    wire_format: str = "rgb"
 
 
 class VideoDataset:
@@ -142,14 +147,21 @@ class VideoDataset:
         entry = self.entries[index]
         buffer = self._load_clip(entry, train=True)
         rng = random.Random()
+        if cfg.wire_format == "yuv420" and cfg.host_normalize:
+            raise ValueError("wire_format='yuv420' requires host_normalize=False")
 
         def one():
-            return T.train_augment(
+            clip = T.train_augment(
                 buffer, cfg.input_size, cfg.aa,
                 horizontal_flip=self.hflip, reprob=cfg.reprob, rng=rng,
                 host_normalize=cfg.host_normalize,
                 interpolation=cfg.train_interpolation,
             )
+            if cfg.wire_format == "yuv420":
+                from devias_tpu.data.yuv import rgb_clip_to_i420
+
+                clip = rgb_clip_to_i420(clip)
+            return clip
 
         if cfg.num_sample > 1:
             # repeated augmentation (ref kinetics.py:138-148 + collate

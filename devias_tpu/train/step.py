@@ -40,6 +40,10 @@ class TrainStepConfig:
     # consumes unit-range directly (no denorm round trip); the MODEL must
     # be built with input_norm=True. Identical math to host normalization.
     device_normalize: bool = False
+    # 'yuv420': train batches arrive as uint8 I420 planes [B,T,H*3//2,W]
+    # (half the wire bytes; data/yuv.py) and the step unpacks to RGB [0,1]
+    # on-device. Requires device_normalize=True.
+    wire_format: str = "rgb"
 
 
 def _global_norm(tree) -> jnp.ndarray:
@@ -137,7 +141,16 @@ def make_slot_train_step(
 
     def micro_loss(params, teacher_params, videos, labels, rng):
         fame_rng, drop_rng, dp_rng = jax.random.split(rng, 3)
-        if step_cfg.device_normalize:
+        if step_cfg.wire_format == "yuv420":
+            if not step_cfg.device_normalize:
+                raise ValueError("wire_format='yuv420' requires device_normalize=True")
+            from devias_tpu.data.yuv import i420_to_rgb
+
+            # barrier: materialize the unpacked RGB once — without it XLA
+            # re-inlines the unpack (gather-heavy repeat/stack) into each
+            # of FAME's consumers, costing ~13.5ms/step vs ~4ms isolated
+            videos = jax.lax.optimization_barrier(i420_to_rgb(videos))
+        elif step_cfg.device_normalize:
             videos = videos.astype(jnp.float32) / 255.0
         if segformer_apply is not None:
             from devias_tpu.aug.fame import IMAGENET_MEAN, IMAGENET_STD
