@@ -187,8 +187,25 @@ def _tas_fwd(x, k, v, depth, heads, dim_head, eps, w):
     return (x, P), (k, v, w, saves)
 
 
-def _tas_bwd(depth, heads, dim_head, eps, res, cts):
-    k, v, w, saves = res
+def _ln_bwd_dx(dy, xhat, inv, scale):
+    """dx of LayerNorm only, f32. The dscale/dbias reductions are deferred
+    to stacked post-loop einsums (see _tas_bwd)."""
+    t = dy.astype(jnp.float32) * scale
+    return inv * (t - t.mean(-1, keepdims=True) - xhat * (t * xhat).mean(-1, keepdims=True))
+
+
+def _tas_bwd_core(depth, heads, dim_head, k, v, w, saves, cts):
+    """Reverse pass reduced to its critical path: only ops feeding the
+    sequential dx carry (residual chain) run per round; every weight, bias,
+    and LN-parameter gradient — and dK/dV — is deferred and computed as ONE
+    stacked einsum/reduction over the round axis. The previous per-round
+    `+=` formulation was ~100 extra tiny ops (8 rounds x ~12 accumulation
+    ops over S=2-row tensors).
+
+    Returns (dx [B,S,D] dt, S_, dw): the input-slot cotangent, the stacked
+    per-round tensors (for the caller to turn into dK/dV — either
+    materialized, or factored through the K/V projections so the [B,N,inner]
+    gradients never exist), and the round-weight grads."""
     dx_ct, dP_ct = cts
     (nq_s, nq_b, wq, wo, bo, nf_s, nf_b, w1, b1, w2, b2) = w
     scale = dim_head**-0.5
@@ -196,35 +213,25 @@ def _tas_bwd(depth, heads, dim_head, eps, res, cts):
     dt = saves[0][0].dtype
     inner = heads * dim_head
 
-    zeros = lambda a: jnp.zeros(a.shape, jnp.float32)  # noqa: E731
-    d_nq_s, d_nq_b = zeros(nq_s), zeros(nq_b)
-    d_nf_s, d_nf_b = zeros(nf_s), zeros(nf_b)
-    d_wq, d_wo, d_bo = zeros(wq), zeros(wo), zeros(bo)
-    d_w1, d_b1, d_w2, d_b2 = zeros(w1), zeros(b1), zeros(w2), zeros(b2)
-
-    dsim_rounds, q_rounds, A_rounds, do_rounds = [], [], [], []
+    L = {name: [] for name in (
+        "dx2", "g", "dh1", "dyn", "xhat_f", "dx1", "dq2", "dqln", "xhat_q",
+        "dsim", "q", "A", "do", "o", "xn", "yn",
+    )}
     dx = dx_ct.astype(jnp.float32)
     for t in reversed(range(depth)):
         (x_in, xn, mu_q, inv_q, P, r, A, o, x1, yn, mu_f, inv_f, h1) = saves[t]
+        L["dx2"].append(dx)  # cotangent of this round's output
         dxb = dx.astype(dt)
         # FF branch: x2 = gelu(h1) @ w2 + b2 + x1
         g = _gelu_exact(h1)
         dg = dxb @ w2.T
-        d_w2 += jnp.einsum("bsf,bsd->fd", g.astype(jnp.float32), dx)
-        d_b2 += dx.sum(axis=(0, 1))
         dh1 = (dg.astype(jnp.float32) * _gelu_exact_grad(h1)).astype(dt)
         dyn = dh1 @ w1.T
-        d_w1 += jnp.einsum("bsd,bsf->df", yn.astype(jnp.float32), dh1.astype(jnp.float32))
-        d_b1 += dh1.astype(jnp.float32).sum(axis=(0, 1))
-        dxn_f, ds, db = _ln_bwd_f(dyn, x1, mu_f, inv_f, nf_s)
-        d_nf_s += ds
-        d_nf_b += db
-        dx1 = dx + dxn_f  # residual + LN path, f32
+        xhat_f = (x1.astype(jnp.float32) - mu_f) * inv_f
+        dx1 = dx + _ln_bwd_dx(dyn, xhat_f, inv_f, nf_s)  # residual + LN, f32
 
         # attention branch: x1 = (o @ wo + bo) + x_in
         dout = dx1.astype(dt)
-        d_wo += jnp.einsum("bsi,bsd->id", o.astype(jnp.float32), dx1)
-        d_bo += dx1.sum(axis=(0, 1))
         do = (dout @ wo.T).reshape(B, S, heads, dim_head)
         dA = jnp.einsum("bshd,bnhd->bhsn", do, v).astype(jnp.float32)
         dP = dA / r - (dA * P).sum(axis=-1, keepdims=True) / jnp.square(r)
@@ -234,35 +241,133 @@ def _tas_bwd(depth, heads, dim_head, eps, res, cts):
         q = (xn @ wq).reshape(B, S, heads, dim_head)
         dq = jnp.einsum("bhsn,bnhd->bshd", dsim, k)
         dq2 = dq.reshape(B, S, inner)
-        d_wq += jnp.einsum("bsd,bsi->di", xn.astype(jnp.float32), dq2.astype(jnp.float32))
-        dxq_f, ds, db = _ln_bwd_f(dq2 @ wq.T, x_in, mu_q, inv_q, nq_s)
-        d_nq_s += ds
-        d_nq_b += db
-        dx = dx1 + dxq_f
+        dqln = dq2 @ wq.T
+        xhat_q = (x_in.astype(jnp.float32) - mu_q) * inv_q
+        dx = dx1 + _ln_bwd_dx(dqln, xhat_q, inv_q, nq_s)
 
-        dsim_rounds.append(dsim)
-        q_rounds.append(q)
-        A_rounds.append(A)
-        do_rounds.append(do)
+        for name, val in (
+            ("g", g), ("dh1", dh1), ("dyn", dyn), ("xhat_f", xhat_f),
+            ("dx1", dx1), ("dq2", dq2), ("dqln", dqln), ("xhat_q", xhat_q),
+            ("dsim", dsim), ("q", q), ("A", A), ("do", do), ("o", o),
+            ("xn", xn), ("yn", yn),
+        ):
+            L[name].append(val)
 
-    # dK/dV reduced over ALL rounds in one einsum each: contraction over
-    # (round, slot) writes each [B, N, h, dh] gradient exactly once
-    dsim_all = jnp.stack(dsim_rounds)
-    q_all = jnp.stack(q_rounds)
-    A_all = jnp.stack(A_rounds)
-    do_all = jnp.stack(do_rounds)
-    dk = jnp.einsum("tbhsn,tbshd->bnhd", dsim_all, q_all)
-    dv = jnp.einsum("tbhsn,tbshd->bnhd", A_all, do_all)
+    S_ = {name: jnp.stack(vals) for name, vals in L.items()}
+    f32 = jnp.float32
+
+    # weight/bias/LN-param grads: one stacked contraction each over
+    # (round, batch, slot) = depth*B*S rows, f32 MXU accumulation
+    def wgrad(a, b):
+        return jnp.einsum(
+            "tbsi,tbsj->ij", a, b, preferred_element_type=f32
+        )
+
+    dx2f = S_["dx2"]  # already f32
+    d_w2 = wgrad(S_["g"], dx2f.astype(dt))
+    d_b2 = dx2f.sum(axis=(0, 1, 2))
+    d_w1 = wgrad(S_["yn"], S_["dh1"])
+    d_b1 = S_["dh1"].astype(f32).sum(axis=(0, 1, 2))
+    d_nf_s = (S_["dyn"].astype(f32) * S_["xhat_f"]).sum(axis=(0, 1, 2))
+    d_nf_b = S_["dyn"].astype(f32).sum(axis=(0, 1, 2))
+    d_wo = wgrad(S_["o"], S_["dx1"].astype(dt))
+    d_bo = S_["dx1"].sum(axis=(0, 1, 2))
+    d_wq = wgrad(S_["xn"], S_["dq2"])
+    d_nq_s = (S_["dqln"].astype(f32) * S_["xhat_q"]).sum(axis=(0, 1, 2))
+    d_nq_b = S_["dqln"].astype(f32).sum(axis=(0, 1, 2))
 
     dw = (
         d_nq_s.astype(dt), d_nq_b.astype(dt), d_wq.astype(dt), d_wo.astype(dt),
         d_bo.astype(dt), d_nf_s.astype(dt), d_nf_b.astype(dt), d_w1.astype(dt),
         d_b1.astype(dt), d_w2.astype(dt), d_b2.astype(dt),
     )
-    return dx.astype(dt), dk, dv, dw
+    return dx.astype(dt), S_, dw
+
+
+def _tas_bwd(depth, heads, dim_head, eps, res, cts):
+    k, v, w, saves = res
+    dx, S_, dw = _tas_bwd_core(depth, heads, dim_head, k, v, w, saves, cts)
+    # dK/dV reduced over ALL rounds in one einsum each: contraction over
+    # (round, slot) writes each [B, N, h, dh] gradient exactly once
+    dk = jnp.einsum("tbhsn,tbshd->bnhd", S_["dsim"], S_["q"])
+    dv = jnp.einsum("tbhsn,tbshd->bnhd", S_["A"], S_["do"])
+    return dx, dk, dv, dw
 
 
 tied_agg_stack.defvjp(_tas_fwd, _tas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# K/V-projection-fused tied stack.
+#
+# dK/dV are [B, N, heads*dim_head] (77 MB each at the flagship geometry) and
+# exist only to be contracted straight into d_wk = ctxᵀ·dK (a 30 GMAC GEMM)
+# and d_ctx = dK·wkᵀ (another 30 GMAC). But dK itself is the low-rank product
+# Σ_{t,s} dsim ⊗ q (rank depth·S = 16), so both contractions factor through
+# the tiny per-round stacks instead:
+#   d_wk  = Σ_n ctxᵀ·dsim (925 MMAC) then ·q (302 MMAC)
+#   d_ctx = q·wkᵀ (302 MMAC) then dsimᵀ· (925 MMAC)
+# — ~25x fewer FLOPs and no [B, N, inner] gradient ever materializes.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def tied_agg_stack_kv(x, ctx_k, ctx_v, depth, heads, dim_head, eps, wk, wv, w):
+    """tied_agg_stack with the K/V projections INSIDE the VJP boundary.
+
+    ctx_k/ctx_v: the already-context-normed tokens (ctx_k includes the
+    keys-only positional encoding, ref agg_block/attention.py:123-126);
+    wk/wv: [D, heads*dim_head] projection kernels (no bias in the
+    reference, agg_block/attention.py:96-97)."""
+    B, N, _ = ctx_k.shape
+    k = (ctx_k @ wk).reshape(B, N, heads, dim_head)
+    v = (ctx_v @ wv).reshape(B, N, heads, dim_head)
+    scale = dim_head**-0.5
+    P = None
+    for _ in range(depth):
+        x, P, _ = _round_fwd(x, k, v, w, scale, heads, dim_head, eps)
+    return x, P
+
+
+def _taskv_fwd(x, ctx_k, ctx_v, depth, heads, dim_head, eps, wk, wv, w):
+    B, N, _ = ctx_k.shape
+    k = (ctx_k @ wk).reshape(B, N, heads, dim_head)
+    v = (ctx_v @ wv).reshape(B, N, heads, dim_head)
+    scale = dim_head**-0.5
+    saves = []
+    P = None
+    for _ in range(depth):
+        x, P, save = _round_fwd(x, k, v, w, scale, heads, dim_head, eps)
+        saves.append(save)
+    return (x, P), (ctx_k, ctx_v, wk, wv, k, v, w, saves)
+
+
+def _taskv_bwd(depth, heads, dim_head, eps, res, cts):
+    ctx_k, ctx_v, wk, wv, k, v, w, saves = res
+    dx, S_, dw = _tas_bwd_core(depth, heads, dim_head, k, v, w, saves, cts)
+    dt = ctx_k.dtype
+    C = ctx_k.shape[-1]
+    inner = heads * dim_head
+    f32 = jnp.float32
+
+    def proj_bwd(ctx, kern, dsim_like, q_like):
+        """Factored backward of ctx @ kern given dk = Σ_{t,s} dsim ⊗ q.
+        Returns (d_ctx [B,N,C] dt, d_kern [C,inner] f32)."""
+        M = jnp.einsum("bnc,tbhsn->tbhsc", ctx, dsim_like,
+                       preferred_element_type=f32)
+        d_kern = jnp.einsum("tbhsc,tbshd->chd", M.astype(dt), q_like,
+                            preferred_element_type=f32).reshape(C, inner)
+        qw = jnp.einsum("tbshd,chd->tbhsc", q_like,
+                        kern.reshape(C, heads, dim_head))
+        d_ctx = jnp.einsum("tbhsn,tbhsc->bnc", dsim_like, qw)
+        return d_ctx, d_kern
+
+    d_ctx_k, d_wk = proj_bwd(ctx_k, wk, S_["dsim"], S_["q"])
+    d_ctx_v, d_wv = proj_bwd(ctx_v, wv, S_["A"], S_["do"])
+    return dx, d_ctx_k, d_ctx_v, d_wk.astype(wk.dtype), d_wv.astype(wv.dtype), dw
+
+
+tied_agg_stack_kv.defvjp(_taskv_fwd, _taskv_bwd)
 
 
 class _Kernel(nn.Module):
@@ -413,6 +518,19 @@ class _AggLayer(nn.Module):
             x, k, v, depth, self.heads, self.dim_head, TORCH_LN_EPS, self.weights()
         )
 
+    def stack_kv(self, x, context, k_pos, depth: int):
+        """Tied stack with the K/V projections fused into the custom VJP so
+        their [B, N, inner] gradients never materialize (see
+        tied_agg_stack_kv)."""
+        ctx_n = self.norm_context(context)
+        ctx_k = ctx_n if k_pos is None else ctx_n + k_pos.astype(ctx_n.dtype)
+        wk = self.cross_attn.to_k().astype(self.dtype)
+        wv = self.cross_attn.to_v().astype(self.dtype)
+        return tied_agg_stack_kv(
+            x, ctx_k, ctx_n, depth, self.heads, self.dim_head, TORCH_LN_EPS,
+            wk, wv, self.weights(),
+        )
+
     def project_kv(self, context, k_pos=None):
         """Context LN + K/V projections, computed once per unique layer."""
         return self.cross_attn.project_kv(self.norm_context(context), k_pos=k_pos)
@@ -478,21 +596,20 @@ class AggregationBlock(nn.Module):
                 self.pos_enc_type, context.shape[1], context.shape[-1]
             )
 
-        # The context is static across rounds, so the context LN and the K/V
-        # projections — the agg block's dominant FLOPs — run once per UNIQUE
-        # layer; a tied depth-8 stack reuses them for all 8 rounds (the
-        # reference recomputes them every round, agg_block/attention.py:125-126,
-        # and autodiff of this hoisted form also accumulates dK/dV across
-        # rounds before one projection backward).
-        kv = [layer.project_kv(context, k_pos=k_pos) for layer in layers]
-
         stochastic = not deterministic and (self.attn_dropout > 0 or self.ff_dropout > 0)
         if self.weight_tie and not stochastic:
-            # all rounds under one custom VJP: dK/dV reduced across rounds
-            # by single stacked einsums instead of per-round [B, N, inner]
-            # materializations (see tied_agg_stack)
-            x, sim = layers[0].stack(x, kv[0][0], kv[0][1], self.depth)
+            # all rounds + the K/V projections under one custom VJP: dK/dV
+            # never materialize; their contribution to d_wk/d_wv/d_context
+            # is factored through the tiny per-round stacks
+            # (see tied_agg_stack_kv)
+            x, sim = layers[0].stack_kv(x, context, k_pos, self.depth)
         else:
+            # The context is static across rounds, so the context LN and the
+            # K/V projections — the agg block's dominant FLOPs — run once per
+            # UNIQUE layer; a tied stack reuses them for all rounds (the
+            # reference recomputes them every round,
+            # agg_block/attention.py:125-126).
+            kv = [layer.project_kv(context, k_pos=k_pos) for layer in layers]
             sim = None
             for i in range(self.depth):
                 j = 0 if self.weight_tie else i

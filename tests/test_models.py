@@ -225,3 +225,61 @@ def test_tied_stack_matches_per_round_loop():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
         )
+
+
+def test_tied_stack_kv_fused_matches_explicit_projection():
+    """tied_agg_stack_kv (K/V projections inside the VJP, factored
+    d_wk/d_wv/d_ctx — dK/dV never materialized) must equal autodiff of the
+    explicit ctx@wk / ctx@wv projection followed by the per-round loop, in
+    outputs and in every gradient (ctx_k, ctx_v, wk, wv, x, round weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from devias_tpu.nn.agg import (
+        TORCH_LN_EPS, _round_fwd, tied_agg_stack_kv,
+    )
+
+    B, S, N, h, dh, D, T = 2, 2, 48, 4, 16, 32, 3
+    inner = h * dh
+    rng = np.random.default_rng(7)
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.2)
+    x = f(B, S, D)
+    ctx_k = f(B, N, D)
+    ctx_v = f(B, N, D)
+    wk = f(D, inner)
+    wv = f(D, inner)
+    w = (
+        jnp.ones(D), f(D), f(D, inner), f(inner, D), f(D),
+        jnp.ones(D), f(D), f(D, 4 * D), f(4 * D), f(4 * D, D), f(D),
+    )
+    w_out = f(B, S, D)
+    w_p = f(B, h, S, N)
+    scale = dh**-0.5
+
+    def loop_ref(x, ctx_k, ctx_v, wk, wv, w):
+        k = (ctx_k @ wk).reshape(B, N, h, dh)
+        v = (ctx_v @ wv).reshape(B, N, h, dh)
+        P = None
+        for _ in range(T):
+            x, P, _ = _round_fwd(x, k, v, w, scale, h, dh, TORCH_LN_EPS)
+        return x, P
+
+    def fused(x, ctx_k, ctx_v, wk, wv, w):
+        return tied_agg_stack_kv(x, ctx_k, ctx_v, T, h, dh, TORCH_LN_EPS, wk, wv, w)
+
+    def loss(fn, *a):
+        out, P = fn(*a)
+        return (out * w_out).sum() + (P * w_p).sum()
+
+    args = (x, ctx_k, ctx_v, wk, wv, w)
+    o_f = fused(*args)
+    o_r = loop_ref(*args)
+    np.testing.assert_allclose(np.asarray(o_f[0]), np.asarray(o_r[0]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o_f[1]), np.asarray(o_r[1]), rtol=2e-5, atol=2e-5)
+
+    g_f = jax.grad(lambda *a: loss(fused, *a), argnums=tuple(range(6)))(*args)
+    g_r = jax.grad(lambda *a: loss(loop_ref, *a), argnums=tuple(range(6)))(*args)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
+        )
