@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_CLIPS_PER_SEC_ESTIMATE = 50.0
-BATCH = 12  # reference per-GPU batch (docs/TRAIN.md:20)
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", "12"))  # reference per-GPU batch (docs/TRAIN.md:20)
 
 # Model FLOPs per clip for MFU reporting: student ViT-B fwd at 1568 tokens
 # = 12 x (24*N*d^2 + 4*N^2*d) + patch embed ~= 0.361 TF; backward ~= 2x fwd;
@@ -112,6 +112,8 @@ def main():
     # to sink the headline metric.
     try:
         import os
+        if os.environ.get("BENCH_SKIP_PIPELINE"):
+            raise RuntimeError("skipped")
         import subprocess
         import sys
 
