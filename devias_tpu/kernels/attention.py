@@ -248,9 +248,20 @@ def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, *stats_ref, scale: float, D: int)
             s_next = _s(h + 1)  # MXU ahead of this head's VPU work
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        l = e.sum(axis=-1, keepdims=True)
-        o = jnp.dot(e.astype(v_ref.dtype), v_ref[0, :, sl], preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+        # the exp-sum l rides the e@V matmul as a ones-column appended to
+        # the V tile: at D=64 the dot fills only half the MXU's 128 output
+        # lanes, so the extra column is free MXU work and replaces a
+        # cross-lane VPU reduction over the [bq, n] tile (the serialized
+        # VPU time is the measured fwd gap to roofline, docs/PERF.md).
+        # l sums the same bf16-rounded e the numerator uses, so o = o65/l
+        # stays self-consistent.
+        eb = e.astype(v_ref.dtype)
+        v65 = jnp.concatenate(
+            [v_ref[0, :, sl], jnp.ones((v_ref.shape[1], 1), v_ref.dtype)], axis=1
+        )
+        o65 = jnp.dot(eb, v65, preferred_element_type=jnp.float32)
+        l = o65[:, D:D + 1]
+        o_ref[0, :, sl] = (o65[:, :D] / l).astype(o_ref.dtype)
         cols.append((m, l))
     if stats_ref:
         (sref,) = stats_ref
