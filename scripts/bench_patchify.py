@@ -50,6 +50,46 @@ def pad4(x):
     return xp.reshape(B, t * h * w, TB * P * P * 4)
 
 
+def embed_base(x, kernel):
+    """Current production lowering: full patchify transpose + one K=1536 GEMM."""
+    p = one(x)
+    return jnp.dot(p, kernel.reshape(TB * P * P * C, -1),
+                   preferred_element_type=jnp.float32)
+
+
+def embed_slices(x, kernel):
+    """Relayout-free: the (dt, ph) interleave never materializes. For each of
+    the 32 (tubelet-frame, patch-row) offsets, the needed rows are a strided
+    slice whose minor unit is a full contiguous W*C run (224*3 elems =
+    1344 B), reshaped [B, t, h, w, P*C] for free — then a K=48 GEMM against
+    the matching kernel rows, accumulated. Trades ~0.4 ms of extra MXU
+    passes (K=48 fills 48/128 of the array) for the whole transpose."""
+    ker = kernel.reshape(TB, P, P * C, -1)
+    xr = x.reshape(B, t, TB, h, P, W * C)
+    acc = None
+    for dt in range(TB):
+        for ph in range(P):
+            s = xr[:, :, dt, :, ph, :].reshape(B, t * h * w, P * C)
+            part = jnp.dot(s, ker[dt, ph], preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    return acc
+
+
+def embed_friendly(x, kernel):
+    """Hoist (dt, ph) outward with ONE big-minor-unit transpose (1344 B
+    contiguous runs), then 32 contiguous-slice K=48 GEMMs."""
+    ker = kernel.reshape(TB, P, P * C, -1)
+    y = x.reshape(B, t, TB, h, P, W * C).transpose(2, 4, 0, 1, 3, 5)
+    (y,) = jax.lax.optimization_barrier((y,))
+    acc = None
+    for dt in range(TB):
+        for ph in range(P):
+            s = y[dt, ph].reshape(B, t * h * w, P * C)
+            part = jnp.dot(s, ker[dt, ph], preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    return acc
+
+
 def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, T, H, W, C)).astype(np.float32)).astype(
@@ -78,6 +118,33 @@ def main():
     b = jax.device_get(jax.jit(two)(x)).astype(np.float32)
     np.testing.assert_array_equal(a, b)
     print("two == one: exact")
+
+    # full patch-embed (patchify + GEMM) strategies
+    kernel = jnp.asarray(
+        rng.normal(size=(TB * P * P * C, 768)).astype(np.float32) * 0.02
+    ).astype(jnp.bfloat16)
+    ref = None
+    for name, fn in [
+        ("embed_base", embed_base),
+        ("embed_slices", embed_slices),
+        ("embed_friendly", embed_friendly),
+    ]:
+        f = jax.jit(lambda v, k, fn=fn: fn(v, k).sum(axis=(1, 2)))
+        jax.device_get(f(x, kernel))
+        n = 20
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            r = f(x, kernel)
+        jax.device_get(r)
+        dt = (time.perf_counter() - t0) / n
+        print(f"{name:15s} {dt*1e3:7.3f} ms")
+        full = jax.device_get(jax.jit(fn)(x, kernel))
+        if ref is None:
+            ref = full
+        else:
+            d = np.abs(full - ref)
+            print(f"  max|d| vs base: {d.max():.4f} (scale {np.abs(ref).max():.2f})")
 
 
 if __name__ == "__main__":
