@@ -110,6 +110,10 @@ def build_shared_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--enable_deepspeed", action="store_true", default=False,
                    help="accepted for command compatibility; bf16 needs no engine")
     # devias_tpu extensions
+    p.add_argument("--zero1", action="store_true", default=False,
+                   help="devias_tpu extension: shard AdamW moments over the "
+                        "data axis (ZeRO stage-1 equivalent; cuts optimizer "
+                        "memory per chip by the data-parallel degree)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="devias_tpu extension: capture a jax.profiler trace "
                         "of a few steps of the first epoch into this dir")
@@ -171,12 +175,15 @@ def run_train_loop(
     profile_dir = getattr(args, "profile_dir", "") or ""
     profiling = False
 
-    # replicate the train state across the mesh once; batches are sharded
-    # over the data axis as they are prefetched (computation-follows-sharding;
-    # XLA inserts the gradient psum over ICI)
-    repl = NamedSharding(mesh, P())
+    # place the train state across the mesh once: params replicated, and —
+    # with --zero1 — the AdamW moments sharded over the data axis (ZeRO
+    # stage-1 equivalent, core/dist.py::shard_train_state). Batches are
+    # sharded over the data axis as they are prefetched
+    # (computation-follows-sharding; XLA inserts the gradient psum over ICI)
+    from devias_tpu.core.dist import shard_train_state
+
     data_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
-    state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    state = shard_train_state(state, mesh, zero1=bool(getattr(args, "zero1", False)))
 
     metrics = {}
     for epoch in range(start_epoch, args.epochs):

@@ -130,6 +130,54 @@ def shard_params_tp(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def zero1_spec(leaf, n_data: int) -> P:
+    """ZeRO-1 PartitionSpec for one optimizer-moment leaf: shard the first
+    axis divisible by the data-axis size, replicate leaves with none (tiny
+    biases/scales — their replication cost is negligible)."""
+    if leaf.ndim == 0 or not jnp_issubdtype_inexact(leaf):
+        return P()
+    for axis, d in enumerate(leaf.shape):
+        if d >= n_data and d % n_data == 0:
+            return P(*([None] * axis + [DATA_AXIS]))
+    return P()
+
+
+def jnp_issubdtype_inexact(leaf) -> bool:
+    import jax.numpy as jnp
+
+    return jnp.issubdtype(leaf.dtype, jnp.inexact)
+
+
+def shard_train_state(state, mesh: Mesh, zero1: bool = False):
+    """Place a TrainState on the mesh: params (and EMA) replicated; with
+    zero1=True the optimizer moment leaves (AdamW mu/nu — 2x the params in
+    f32, the largest replicated buffers in a DP run) are sharded over the
+    data axis instead.
+
+    This is the DeepSpeed ZeRO stage-1 equivalent (the reference ships
+    DeepSpeed configs but runs stage 0, SURVEY §2.8; beyond parity): XLA's
+    partitioner turns the sharded-moment update into reduce-scatter(grad)
+    -> local moment/update math -> all-gather(update), cutting optimizer
+    memory per chip by the data-axis size. Sharding propagates through the
+    jitted step, so the moments STAY sharded across steps (asserted by
+    tests/test_zero1.py)."""
+    n_data = mesh.shape[DATA_AXIS]
+    repl = NamedSharding(mesh, P())
+
+    def place_moment(leaf):
+        if not hasattr(leaf, "ndim"):
+            return leaf
+        spec = zero1_spec(leaf, n_data) if zero1 else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    placed_opt = jax.tree.map(place_moment, state.opt_state)
+    rest = jax.tree.map(
+        lambda x: jax.device_put(x, repl) if hasattr(x, "ndim") else x,
+        state.replace(opt_state=None),
+    )
+    return rest.replace(opt_state=placed_opt)
+
+
 SEQ_AXIS = "seq"
 
 
