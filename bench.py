@@ -16,6 +16,7 @@ ViT training sustains ~78-94 TFLOP/s -> 46-56 clips/s. We use 50.
 """
 
 import json
+import os
 import time
 
 _T_START = time.perf_counter()
@@ -29,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_CLIPS_PER_SEC_ESTIMATE = 50.0
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "12"))  # reference per-GPU batch (docs/TRAIN.md:20)
+BATCH = int(os.environ.get("BENCH_BATCH", "12"))  # reference per-GPU batch (docs/TRAIN.md:20)
 
 # Model FLOPs per clip for MFU reporting: student ViT-B fwd at 1568 tokens
 # = 12 x (24*N*d^2 + 4*N^2*d) + patch embed ~= 0.361 TF; backward ~= 2x fwd;
@@ -57,9 +58,12 @@ def main():
         agg_depth=8, agg_weights_tie=True, dtype=jnp.bfloat16,
         fused_attention=True, patch_embed_conv=False,
     )
+    # BENCH_TEACHER_INT8=1: the opt-in w8a8 teacher (nn/quant.py) — reported
+    # as a separate A/B, never the headline (it perturbs teacher logits)
     teacher = create_model(
         "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,
         dtype=jnp.bfloat16, fused_attention=True, patch_embed_conv=False,
+        int8_dense=bool(os.environ.get("BENCH_TEACHER_INT8")),
     )
 
     x = jnp.zeros((BATCH, 16, 224, 224, 3), jnp.float32)
@@ -113,8 +117,7 @@ def main():
     # forward (the SCUBA/HAT/val protocol step, eval/protocols.py) on the
     # same chip. Guarded so it can never sink the headline metric.
     try:
-        import os as _os
-        if _os.environ.get("BENCH_SKIP_EVAL"):
+        if os.environ.get("BENCH_SKIP_EVAL"):
             raise RuntimeError("skipped")
         # stay inside the driver window: the eval graph compiles fresh on a
         # cold cache (~1-2 min over the relay); skip rather than risk the
@@ -140,7 +143,6 @@ def main():
     # prefetch -> step on real mp4s; see bench_pipeline.py). Never allowed
     # to sink the headline metric.
     try:
-        import os
         if os.environ.get("BENCH_SKIP_PIPELINE"):
             raise RuntimeError("skipped")
         import subprocess

@@ -86,6 +86,13 @@ def get_args(argv=None):
     parser.add_argument("--hat_anno_path", default="", type=str)
     parser.add_argument("--scuba_val", action="store_true")
     parser.add_argument("--eval_scene", action="store_true")
+    parser.add_argument(
+        "--teacher_int8", action="store_true", default=False,
+        help="run the frozen scene teacher's GEMMs as w8a8 int8 on the MXU "
+             "(2x bf16 rate on v5e). NOT the parity path: perturbs teacher "
+             "logits by a bounded amount (tests/test_quant.py); devias_tpu "
+             "extension, off by default",
+    )
     parser.set_defaults(model="slot_vit_base_patch16_224")
     return parser.parse_args(argv)
 
@@ -120,6 +127,7 @@ def build_models(args, dtype=jnp.bfloat16):
         tubelet_size=args.tubelet_size,
         use_mean_pooling=False,
         input_norm=args.device_normalize,
+        int8_dense=getattr(args, "teacher_int8", False),
         dtype=dtype,
         **tiny,
     )

@@ -99,6 +99,7 @@ class SlotViT(nn.Module):
     patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
     fused_interpret: bool = False
     input_norm: bool = False
+    int8_dense: bool = False  # w8a8 backbone GEMMs (frozen-inference only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -122,6 +123,7 @@ class SlotViT(nn.Module):
             patch_embed_conv=self.patch_embed_conv,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
+            int8_dense=self.int8_dense,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)
@@ -215,6 +217,7 @@ class PlainViT(nn.Module):
     patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
     fused_interpret: bool = False
     input_norm: bool = False
+    int8_dense: bool = False  # w8a8 backbone GEMMs (frozen-inference only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -240,6 +243,7 @@ class PlainViT(nn.Module):
             patch_embed_conv=self.patch_embed_conv,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
+            int8_dense=self.int8_dense,
             dtype=self.dtype,
             name="backbone",
         )(x, deterministic=deterministic)

@@ -148,11 +148,16 @@ class Mlp(nn.Module):
     # True/False overrides — exact_gelu=True at the model level keeps
     # bf16 runs erf-exact for parity studies (torch uses exact GELU).
     gelu_approx: Optional[bool] = None
+    int8_dense: bool = False  # w8a8 MXU GEMMs (frozen-inference only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc02, name="fc1")(x)
+        if self.int8_dense:
+            from devias_tpu.nn.quant import Int8Dense as _Dense
+        else:
+            _Dense = nn.Dense
+        x = _Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc02, name="fc1")(x)
         # exact erf GELU in f32 (torch-parity tests run f32); tanh form in
         # the bf16 compute path — XLA's erf lowering costs ~35 ms/step at
         # batch 12 (20% of the whole train step), while the tanh form
@@ -162,7 +167,7 @@ class Mlp(nn.Module):
         if approx is None:
             approx = self.dtype == jnp.bfloat16
         x = nn.gelu(x, approximate=approx)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=trunc02, name="fc2")(x)
+        x = _Dense(self.out_dim, dtype=self.dtype, kernel_init=trunc02, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -191,6 +196,7 @@ class Attention(nn.Module):
     # (SURVEY §2.8 lists SP as absent upstream) — pays at longer clips /
     # higher resolutions where N grows past one chip's comfort.
     seq_axis: Optional[str] = None
+    int8_dense: bool = False  # w8a8 qkv/proj GEMMs (frozen-inference only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -200,7 +206,14 @@ class Attention(nn.Module):
         scale = self.qk_scale or head_dim**-0.5
 
         qkv_kernel = self.param("qkv_kernel", trunc02, (C, 3 * C), jnp.float32)
-        qkv = jnp.einsum("bnc,cd->bnd", x, qkv_kernel.astype(self.dtype))
+        if self.int8_dense:
+            from devias_tpu.nn.quant import Int8Dense as _proj_cls
+            from devias_tpu.nn.quant import int8_dot
+
+            qkv = int8_dot(x, qkv_kernel).astype(self.dtype)
+        else:
+            _proj_cls = nn.Dense
+            qkv = jnp.einsum("bnc,cd->bnd", x, qkv_kernel.astype(self.dtype))
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (C,), jnp.float32)
             v_bias = self.param("v_bias", nn.initializers.zeros, (C,), jnp.float32)
@@ -250,11 +263,11 @@ class Attention(nn.Module):
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
             if return_attn:
-                out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc02, name="proj")(out)
+                out = _proj_cls(C, dtype=self.dtype, kernel_init=trunc02, name="proj")(out)
                 out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
                 return out, attn
 
-        out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc02, name="proj")(out)
+        out = _proj_cls(C, dtype=self.dtype, kernel_init=trunc02, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -276,6 +289,7 @@ class Block(nn.Module):
     fused_interpret: bool = False
     seq_axis: Optional[str] = None
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
+    int8_dense: bool = False  # w8a8 GEMMs (frozen-inference only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -291,6 +305,7 @@ class Block(nn.Module):
             fused=self.fused_attention,
             fused_interpret=self.fused_interpret,
             seq_axis=self.seq_axis,
+            int8_dense=self.int8_dense,
             dtype=self.dtype,
             name="attn",
         )(y, deterministic=deterministic)
@@ -308,6 +323,7 @@ class Block(nn.Module):
             out_dim=C,
             drop=self.drop,
             gelu_approx=False if self.exact_gelu else None,
+            int8_dense=self.int8_dense,
             dtype=self.dtype,
             name="mlp",
         )(y, deterministic=deterministic)
@@ -442,6 +458,10 @@ class VideoViT(nn.Module):
     # SP). See core/dist.py:seq_parallel_tokens.
     seq_axis: Optional[str] = None
     seq_shards: int = 1
+    # w8a8 int8 MXU GEMMs for qkv/proj/fc1/fc2 — FROZEN-INFERENCE ONLY
+    # (round() has zero gradient; see nn/quant.py). Opt-in, not the
+    # parity path: quantization perturbs logits.
+    int8_dense: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -525,6 +545,7 @@ class VideoViT(nn.Module):
                 fused_interpret=self.fused_interpret,
                 seq_axis=self.seq_axis,
                 exact_gelu=self.exact_gelu,
+                int8_dense=self.int8_dense,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)
