@@ -114,6 +114,11 @@ def build_shared_parser(description: str) -> argparse.ArgumentParser:
                    help="devias_tpu extension: shard AdamW moments over the "
                         "data axis (ZeRO stage-1 equivalent; cuts optimizer "
                         "memory per chip by the data-parallel degree)")
+    p.add_argument("--fsdp", action="store_true", default=False,
+                   help="devias_tpu extension: shard params, EMA, AND AdamW "
+                        "moments over the data axis (ZeRO-3/FSDP equivalent; "
+                        "implies --zero1 — XLA all-gathers each weight at its "
+                        "first use and keeps only the shard resident)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="devias_tpu extension: capture a jax.profiler trace "
                         "of a few steps of the first epoch into this dir")
@@ -176,14 +181,19 @@ def run_train_loop(
     profiling = False
 
     # place the train state across the mesh once: params replicated, and —
-    # with --zero1 — the AdamW moments sharded over the data axis (ZeRO
-    # stage-1 equivalent, core/dist.py::shard_train_state). Batches are
-    # sharded over the data axis as they are prefetched
+    # with --zero1 / --fsdp — the AdamW moments (and, for fsdp, the params
+    # and EMA too) sharded over the data axis (ZeRO stage-1 / stage-3
+    # equivalents, core/dist.py::shard_train_state). Batches are sharded
+    # over the data axis as they are prefetched
     # (computation-follows-sharding; XLA inserts the gradient psum over ICI)
     from devias_tpu.core.dist import shard_train_state
 
     data_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
-    state = shard_train_state(state, mesh, zero1=bool(getattr(args, "zero1", False)))
+    state = shard_train_state(
+        state, mesh,
+        zero1=bool(getattr(args, "zero1", False)),
+        fsdp=bool(getattr(args, "fsdp", False)),
+    )
 
     metrics = {}
     for epoch in range(start_epoch, args.epochs):

@@ -148,32 +148,35 @@ def jnp_issubdtype_inexact(leaf) -> bool:
     return jnp.issubdtype(leaf.dtype, jnp.inexact)
 
 
-def shard_train_state(state, mesh: Mesh, zero1: bool = False):
+def shard_train_state(state, mesh: Mesh, zero1: bool = False, fsdp: bool = False):
     """Place a TrainState on the mesh: params (and EMA) replicated; with
     zero1=True the optimizer moment leaves (AdamW mu/nu — 2x the params in
     f32, the largest replicated buffers in a DP run) are sharded over the
-    data axis instead.
+    data axis instead. With fsdp=True the params and EMA shard the same
+    way too (ZeRO-3 / FSDP equivalent; implies zero1).
 
-    This is the DeepSpeed ZeRO stage-1 equivalent (the reference ships
-    DeepSpeed configs but runs stage 0, SURVEY §2.8; beyond parity): XLA's
-    partitioner turns the sharded-moment update into reduce-scatter(grad)
-    -> local moment/update math -> all-gather(update), cutting optimizer
-    memory per chip by the data-axis size. Sharding propagates through the
-    jitted step, so the moments STAY sharded across steps (asserted by
-    tests/test_zero1.py)."""
+    The reference ships DeepSpeed configs but runs stage 0 (SURVEY §2.8;
+    beyond parity). XLA's SPMD partitioner derives the collectives from
+    the placement alone: sharded moments turn the update into
+    reduce-scatter(grad) -> local moment math -> all-gather(update)
+    (ZeRO-1); sharded params additionally all-gather each weight just
+    before its first use in fwd/bwd and keep only the shard resident
+    between steps (ZeRO-3), cutting params+moments memory per chip by the
+    data-axis size. Sharding propagates through the jitted step, so the
+    placement STAYS sharded across steps (asserted by tests/test_zero1.py
+    and tests/test_fsdp.py)."""
     n_data = mesh.shape[DATA_AXIS]
-    repl = NamedSharding(mesh, P())
+    zero1 = zero1 or fsdp
 
-    def place_moment(leaf):
+    def place(leaf, shard: bool):
         if not hasattr(leaf, "ndim"):
             return leaf
-        spec = zero1_spec(leaf, n_data) if zero1 else P()
+        spec = zero1_spec(leaf, n_data) if shard else P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    placed_opt = jax.tree.map(place_moment, state.opt_state)
+    placed_opt = jax.tree.map(lambda l: place(l, zero1), state.opt_state)
     rest = jax.tree.map(
-        lambda x: jax.device_put(x, repl) if hasattr(x, "ndim") else x,
-        state.replace(opt_state=None),
+        lambda l: place(l, fsdp), state.replace(opt_state=None)
     )
     return rest.replace(opt_state=placed_opt)
 

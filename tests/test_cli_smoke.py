@@ -39,6 +39,8 @@ def test_run_slot_finetuning_train(filelists, tmp_path):
         "--data_path", filelists["plain"], "--data_set", "UCF101",
         "--nb_classes", "5", "--num_latents", "2", "--agg_depth", "2",
         "--agg_weights_tie", "--mask_model", "FAME", "--beta", "0.25",
+        "--fsdp",  # ZeRO-3 placement through the shared loop (flag plumbing;
+        # numerics covered by tests/test_fsdp.py)
         "--output_dir", str(tmp_path),
     ])
     main(args)
