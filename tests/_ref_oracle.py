@@ -82,9 +82,9 @@ def _install_timm():
     timm.models = models
 
     # timm.utils — imported by the reference engines (engine_for_slot.py:8).
-    # accuracy is the standard public top-k metric; ModelEma is only
-    # instantiated when --model_ema is on (never in trajectory tests), so a
-    # minimal EMA-over-state-dict implementation suffices.
+    # accuracy is the standard public top-k metric; ModelEma reproduces
+    # timm's legacy EMA-over-state-dict update exactly (used as the oracle
+    # by test_trajectory_cls_golden.py's EMA case).
     tutils = types.ModuleType("timm.utils")
 
     def accuracy(output, target, topk=(1,)):
@@ -125,6 +125,35 @@ def _install_timm():
     tutils.get_state_dict = get_state_dict
     timm.utils = tutils
 
+    # timm.loss — the two criteria the reference run scripts select
+    # (run_class_finetuning.py:484-488); exact timm math.
+    tloss = types.ModuleType("timm.loss")
+
+    class LabelSmoothingCrossEntropy(torch.nn.Module):
+        def __init__(self, smoothing=0.1):
+            super().__init__()
+            self.smoothing = smoothing
+            self.confidence = 1.0 - smoothing
+
+        def forward(self, x, target):
+            logprobs = torch.nn.functional.log_softmax(x, dim=-1)
+            nll_loss = -logprobs.gather(dim=-1, index=target.unsqueeze(1))
+            nll_loss = nll_loss.squeeze(1)
+            smooth_loss = -logprobs.mean(dim=-1)
+            loss = self.confidence * nll_loss + self.smoothing * smooth_loss
+            return loss.mean()
+
+    class SoftTargetCrossEntropy(torch.nn.Module):
+        def forward(self, x, target):
+            loss = torch.sum(
+                -target * torch.nn.functional.log_softmax(x, dim=-1), dim=-1
+            )
+            return loss.mean()
+
+    tloss.LabelSmoothingCrossEntropy = LabelSmoothingCrossEntropy
+    tloss.SoftTargetCrossEntropy = SoftTargetCrossEntropy
+    timm.loss = tloss
+
     # timm.optim.* — imported at the top of the reference optim_factory but
     # only reachable via opt names the published recipes never use ('adamw'
     # routes to torch.optim.AdamW, ref optim_factory.py:109-116). Stubs
@@ -152,7 +181,10 @@ def _install_timm():
         optim_subs[f"timm.optim.{sub}"] = mod
     timm.optim = toptim
 
-    _shim_spec(timm, models, layers, registry, tutils, toptim, *optim_subs.values())
+    _shim_spec(
+        timm, models, layers, registry, tutils, tloss, toptim,
+        *optim_subs.values(),
+    )
     sys.modules.update(
         {
             "timm": timm,
@@ -160,6 +192,7 @@ def _install_timm():
             "timm.models.layers": layers,
             "timm.models.registry": registry,
             "timm.utils": tutils,
+            "timm.loss": tloss,
             "timm.optim": toptim,
             **optim_subs,
         }
