@@ -26,10 +26,9 @@ from devias_tpu.cli.common import (
 from devias_tpu.core.dist import make_mesh, maybe_init_distributed
 from devias_tpu.data import build_dataset
 from devias_tpu.eval import final_test, merge_results, validation_one_epoch
-from devias_tpu.losses import multi_task_loss, cross_entropy, label_smoothing_cross_entropy
+from devias_tpu.losses import cross_entropy, label_smoothing_cross_entropy
 from devias_tpu.nn import create_model
-from devias_tpu.train import TrainState, make_optimizer
-from devias_tpu.train.step import _global_norm
+from devias_tpu.train import TrainState, make_multi_task_train_step, make_optimizer
 
 
 def get_args(argv=None):
@@ -149,37 +148,17 @@ def main(args=None):
         else cross_entropy
     )
 
-    def micro_loss(p, videos, labels, rng):
-        d1, d2 = jax.random.split(rng)
-        out = model.apply(
-            {"params": p}, videos, deterministic=False,
-            rngs={"dropout": d1, "drop_path": d2},
-        )
-        t = jax.lax.stop_gradient(
-            teacher.apply({"params": tparams}, videos, deterministic=True)["logits"]
-        )
-        total, action_logit, parts = multi_task_loss(
-            out, t, labels, num_action_classes=args.nb_classes,
-            logit_criterion=args.logit_criterion,
-            logit_criterion_weight=args.logit_criterion_weight,
-            unified_head=args.unified_head,
-            action_criterion=criterion,
-        )
-        acc = (action_logit[:, : args.nb_classes].argmax(-1) == labels).mean()
-        return total, {**parts, "loss": total, "class_acc": acc}
-
-    grad_fn = jax.grad(micro_loss, has_aux=True)
-
-    def step(state, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        grads, metrics = grad_fn(state.params, batch["videos"], batch["labels"], rng)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_state = state.replace(opt_state=new_opt).apply_updates(updates)
-        metrics = dict(metrics)
-        metrics["grad_norm"] = _global_norm(grads)
-        metrics["lr"] = lr_fn(state.step)
-        return new_state, metrics
-
+    base_step = make_multi_task_train_step(
+        model, teacher, tx,
+        num_action_classes=args.nb_classes,
+        logit_criterion=args.logit_criterion,
+        logit_criterion_weight=args.logit_criterion_weight,
+        unified_head=args.unified_head,
+        action_criterion=criterion,
+        update_freq=args.update_freq,
+        lr_fn=lr_fn,
+    )
+    step = lambda st, batch, rng: base_step(st, tparams, batch, rng)  # noqa: E731
     train_step = jax.jit(step, donate_argnums=(0,))
 
     def validate(st):

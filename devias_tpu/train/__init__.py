@@ -5,6 +5,7 @@ from devias_tpu.train.step import (
     make_slot_train_step,
     make_hvu_train_step,
     make_classification_train_step,
+    make_multi_task_train_step,
     make_eval_step,
     place_data_parallel,
 )

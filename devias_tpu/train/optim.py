@@ -60,7 +60,12 @@ def _layer_id(names: Sequence[str], num_layers: int) -> int:
     """ref optim_factory.py:24-35 adapted to the flax tree layout
     (backbone/blocks_j/... instead of blocks.j...)."""
     for n in names:
-        if n in ("cls_token", "pos_embed", "suffix_tokens") or n.startswith("patch_embed"):
+        # NOTE: suffix_tokens (the multi-task scene_token) is deliberately
+        # NOT here — the reference's name list covers only cls_token/
+        # mask_token/pos_embed, so scene_token falls through to the LAST
+        # layer id (scale 1.0, ref optim_factory.py:34-35); goldened by
+        # tests/test_trajectory_mt_golden.py
+        if n in ("cls_token", "pos_embed") or n.startswith("patch_embed"):
             return 0
         if n.startswith("blocks_"):
             return int(n.split("_")[1]) + 1

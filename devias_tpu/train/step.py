@@ -401,6 +401,89 @@ def make_classification_train_step(
     return step
 
 
+def make_multi_task_train_step(
+    model,
+    teacher,
+    tx: optax.GradientTransformation,
+    num_action_classes: int,
+    logit_criterion: str = "KL",
+    logit_criterion_weight: float = 1.0,
+    unified_head: bool = False,
+    action_criterion: Callable = cross_entropy,
+    update_freq: int = 1,
+    lr_fn: Optional[Callable] = None,
+):
+    """Multi-task baseline step (ref engine/engine_for_multi_task.py:27-137):
+    student forward + frozen scene-teacher forward -> multi_task_loss
+    (action CE + scene logit distillation) -> AdamW, with the engine's
+    micro-batch gradient accumulation (loss /= update_freq per micro step,
+    optimizer applied at the boundary). Trajectory-goldened against the
+    actual reference engine in tests/test_trajectory_mt_golden.py."""
+    from devias_tpu.losses import multi_task_loss
+
+    U = update_freq
+
+    def micro_loss(params, tparams, videos, labels, rng):
+        d1, d2 = jax.random.split(rng)
+        out = model.apply(
+            {"params": params}, videos, deterministic=False,
+            rngs={"dropout": d1, "drop_path": d2},
+        )
+        t = jax.lax.stop_gradient(
+            teacher.apply({"params": tparams}, videos, deterministic=True)["logits"]
+        )
+        total, action_logit, parts = multi_task_loss(
+            out, t, labels, num_action_classes=num_action_classes,
+            logit_criterion=logit_criterion,
+            logit_criterion_weight=logit_criterion_weight,
+            unified_head=unified_head,
+            action_criterion=action_criterion,
+        )
+        acc = (action_logit[:, :num_action_classes].argmax(-1) == labels).mean()
+        return total, {**parts, "loss": total, "class_acc": acc}
+
+    grad_fn = jax.grad(micro_loss, has_aux=True)
+
+    def step(state: TrainState, tparams, batch, rng):
+        videos, labels = batch["videos"], batch["labels"]
+        mb = videos.shape[0] // U
+        v = videos.reshape(U, mb, *videos.shape[1:])
+        l = labels.reshape(U, mb, *labels.shape[1:])
+        rngs = jax.random.split(jax.random.fold_in(rng, state.step), U)
+
+        if U == 1:
+            grads, metrics = grad_fn(state.params, tparams, v[0], l[0], rngs[0])
+        else:
+            def body(carry, xs):
+                g_acc, m_acc = carry
+                vv, ll, kk = xs
+                g, m = grad_fn(state.params, tparams, vv, ll, kk)
+                return (
+                    jax.tree.map(jnp.add, g_acc, g),
+                    jax.tree.map(jnp.add, m_acc, m),
+                ), None
+
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            zero_m = {
+                "loss": jnp.zeros([]), "class_acc": jnp.zeros([]),
+                "action_loss": jnp.zeros([]), "logit_loss": jnp.zeros([]),
+            }
+            (grads, metrics), _ = jax.lax.scan(body, (zero_g, zero_m), (v, l, rngs))
+            grads = jax.tree.map(lambda g: g / U, grads)
+            metrics = jax.tree.map(lambda m: m / U, metrics)
+
+        new_state, grad_norm = _apply_optimizer(tx, state, grads)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = grad_norm
+        if lr_fn is not None:
+            metrics["lr"] = lr_fn(state.step)
+        return new_state, metrics
+
+    return step
+
+
 def make_eval_step(model, output_key: Optional[str] = None):
     """Deterministic forward returning the full output dict (or one key)."""
     def step(params, videos):

@@ -70,8 +70,17 @@ def _install_timm():
             tensor.normal_(mean, std).clamp_(min=a * std + mean, max=b * std + mean)
         return tensor
 
+    _model_registry = {}
+
     def register_model(fn):
+        _model_registry[fn.__name__] = fn
         return fn
+
+    def create_model(name, pretrained=False, **kwargs):
+        # timm dispatch semantics: look up the @register_model'd factory
+        # (the reference run scripts build models this way,
+        # run_multi_task_finetuning.py:385-400)
+        return _model_registry[name](pretrained=pretrained, **kwargs)
 
     layers.drop_path = drop_path
     layers.to_2tuple = to_2tuple
@@ -79,6 +88,8 @@ def _install_timm():
     registry.register_model = register_model
     models.layers = layers
     models.registry = registry
+    models.create_model = create_model
+    timm.create_model = create_model
     timm.models = models
 
     # timm.utils — imported by the reference engines (engine_for_slot.py:8).
@@ -310,11 +321,34 @@ def _install_torchvision():
     )
 
 
+def _install_decord():
+    if "decord" in sys.modules:
+        return
+    decord = types.ModuleType("decord")
+
+    class _Unavailable:
+        """Imported by the reference dataset modules (dataset/kinetics.py:4)
+        when they are pulled in via a run-script import; trajectory tests
+        never construct a dataset, so instantiation raises."""
+
+        def __init__(self, *a, **k):
+            raise NotImplementedError("decord shim: datasets not usable in tests")
+
+    decord.VideoReader = _Unavailable
+    decord.cpu = _Unavailable
+    bridge = types.ModuleType("decord.bridge")
+    bridge.set_bridge = lambda *a, **k: None
+    decord.bridge = bridge
+    _shim_spec(decord, bridge)
+    sys.modules.update({"decord": decord, "decord.bridge": bridge})
+
+
 def load_reference():
     """Install shims and put /root/reference on sys.path. Returns the path."""
     _install_timm()
     _install_kornia()
     _install_torchvision()
+    _install_decord()
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     return REFERENCE_PATH
