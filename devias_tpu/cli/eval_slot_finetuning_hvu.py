@@ -34,9 +34,10 @@ def get_args(argv=None):
 
 
 def validation_block(loader, forward_fn, batch_size, num_action, which: str):
-    """which='action': action logits vs action labels; 'scene': scene
-    logits vs scene labels (offset by num_action in the unified head,
-    ref engine_for_slot_hvu.py:203-280). Returns top-1/top-5."""
+    """which='action': FULL-width action logits vs action labels; 'scene':
+    FULL-width scene logits vs scene labels offset by num_action — the
+    reference ranks top-1/top-5 over the whole unified (A+SC) head in both
+    blocks, never a slice (ref engine_for_slot_hvu.py:203-280)."""
     logits_all, labels_all = [], []
     for batch in loader:
         videos = batch["videos"]
@@ -45,11 +46,11 @@ def validation_block(loader, forward_fn, batch_size, num_action, which: str):
             videos = np.concatenate([videos, np.repeat(videos[-1:], batch_size - n, 0)], 0)
         action_logit, scene_logit = jax.device_get(forward_fn(videos))
         if which == "action":
-            logits_all.append(np.asarray(action_logit)[:n, :num_action])
+            logits_all.append(np.asarray(action_logit)[:n])
             labels_all.append(np.asarray(batch["labels"])[:n])
         else:
-            logits_all.append(np.asarray(scene_logit)[:n, num_action:])
-            labels_all.append(np.asarray(batch["scene_labels"])[:n])
+            logits_all.append(np.asarray(scene_logit)[:n])
+            labels_all.append(np.asarray(batch["scene_labels"])[:n] + num_action)
     logits = np.concatenate(logits_all)
     labels = np.concatenate(labels_all)
     t1, t5 = accuracy_topk(logits, labels)

@@ -89,7 +89,9 @@ def main(args=None):
     @jax.jit
     def _action_logits(p, videos):
         out = model.apply({"params": p}, videos, deterministic=True)
-        return out["action_logit"][:, : args.nb_classes]
+        # full-width logits: the reference ranks over the whole action head
+        # (A+365 when unified) — ref engine_for_multi_task.py:170-174
+        return out["action_logit"]
 
     @jax.jit
     def _scene_logits(p, videos):

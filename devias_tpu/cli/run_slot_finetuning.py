@@ -178,7 +178,11 @@ def main(args=None):
     # params are used (a closure would bake them in at trace time)
     @jax.jit
     def _action_logits(p, videos):
-        return model.apply({"params": p}, videos, deterministic=True)["action_logit"][:, : args.nb_classes]
+        # FULL (nb_classes+365)-width logits: the reference ranks top-1/5,
+        # computes val CE, and writes result files over the whole unified
+        # head, never an action slice (ref engine_for_slot.py:236-239,
+        # 277-289 — `output` is the model's action_logit as returned)
+        return model.apply({"params": p}, videos, deterministic=True)["action_logit"]
 
     @jax.jit
     def _scene_logits(p, videos):

@@ -89,8 +89,11 @@ def hvu_validation(loader, forward_fn, batch_size, num_action):
         action_logit, scene_logit = np.asarray(action_logit)[:n], np.asarray(scene_logit)[:n]
         al = np.asarray(batch["labels"])[:n]
         sl = np.asarray(batch["scene_labels"])[:n]
-        a1 += int((action_logit[:, :num_action].argmax(-1) == al).sum())
-        s1 += int((scene_logit[:, num_action:].argmax(-1) == sl).sum())
+        # full-width ranking, scene targets shifted by the action count —
+        # the reference never slices the unified head here
+        # (ref engine_for_slot_hvu.py:175-183)
+        a1 += int((action_logit.argmax(-1) == al).sum())
+        s1 += int((scene_logit.argmax(-1) == sl + num_action).sum())
         total += n
     return {
         "acc1": a1 / max(total, 1) * 100,

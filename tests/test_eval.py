@@ -3,6 +3,8 @@ averaging, kNN classifier vs torch oracle, protocol wiring."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -287,3 +289,72 @@ def test_merge_cross_oracle_we_read_reference_files(tmp_path):
     ours = merge_results(str(tmp_path), n)
     theirs = ref_engine.merge(str(tmp_path), n)
     np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-9)
+
+
+def test_validation_ranks_full_unified_head():
+    """The reference ranks top-1/top-5 over the WHOLE unified (A+365) head —
+    validation and final_test never slice the action logits
+    (ref engine_for_slot.py:236-239,289; engine_for_slot_hvu.py:175-183,
+    203-280). Craft logits where a scene column outranks the action target:
+    a sliced ranking would count them correct; the reference does not."""
+    A, SC, B = 5, 4, 8
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(B, A + SC)).astype(np.float32)
+    labels = rng.integers(0, A, size=B)
+    # make half the rows dominated by a scene column
+    logits[::2, A + 2] = 10.0
+    logits[np.arange(B), labels] += 1.0
+
+    # oracle: torch top-k over the full width (timm.utils.accuracy semantics,
+    # used verbatim by every reference validation loop)
+    t = torch.from_numpy(logits)
+    top5 = t.topk(5, dim=-1).indices.numpy()
+    ref1 = float((top5[:, 0] == labels).mean() * 100)
+    ref5 = float((top5 == labels[:, None]).any(axis=1).mean() * 100)
+
+    def forward(videos):
+        idx = np.asarray(videos)[:, 0].astype(int)
+        return jnp.asarray(logits[idx])
+
+    batches = [
+        {"videos": np.arange(B, dtype=np.float32)[:, None], "labels": labels}
+    ]
+    out = validation_one_epoch(_FakeLoader(batches), forward, batch_size=B)
+    assert out["acc1"] == ref1 and out["acc5"] == ref5
+    # the sliced variant would disagree (sanity that the case has teeth)
+    sliced1 = float((logits[:, :A].argmax(-1) == labels).mean() * 100)
+    assert sliced1 != ref1
+
+
+def test_hvu_validation_blocks_full_width():
+    """HVU seen/unseen blocks: action ranks the full (A+SC) width against
+    the raw action label; scene ranks the full width against label+A
+    (ref engine_for_slot_hvu.py:203-280)."""
+    from devias_tpu.cli.eval_slot_finetuning_hvu import validation_block
+
+    A, SC, B = 6, 3, 6
+    rng = np.random.default_rng(1)
+    action_logits = rng.normal(size=(B, A + SC)).astype(np.float32)
+    scene_logits = rng.normal(size=(B, A + SC)).astype(np.float32)
+    al = rng.integers(0, A, size=B)
+    sl = rng.integers(0, SC, size=B)
+    action_logits[0, A] = 9.0  # scene column dominates an action row
+    scene_logits[1, 2] = 9.0   # action column dominates a scene row
+
+    def forward(videos):
+        idx = np.asarray(videos)[:, 0].astype(int)
+        return jnp.asarray(action_logits[idx]), jnp.asarray(scene_logits[idx])
+
+    batches = [{
+        "videos": np.arange(B, dtype=np.float32)[:, None],
+        "labels": al, "scene_labels": sl,
+    }]
+    res_a = validation_block(_FakeLoader(batches), forward, B, A, "action")
+    res_s = validation_block(_FakeLoader(batches), forward, B, A, "scene")
+
+    ta = torch.from_numpy(action_logits).topk(5, -1).indices.numpy()
+    ts = torch.from_numpy(scene_logits).topk(5, -1).indices.numpy()
+    assert res_a["acc1"] == pytest.approx(float((ta[:, 0] == al).mean() * 100))
+    assert res_a["acc5"] == pytest.approx(float((ta == al[:, None]).any(1).mean() * 100))
+    assert res_s["acc1"] == pytest.approx(float((ts[:, 0] == sl + A).mean() * 100))
+    assert res_s["acc5"] == pytest.approx(float((ts == (sl + A)[:, None]).any(1).mean() * 100))
