@@ -31,6 +31,8 @@ import numpy as np
 
 A100_CLIPS_PER_SEC_ESTIMATE = 50.0
 BATCH = int(os.environ.get("BENCH_BATCH", "12"))  # reference per-GPU batch (docs/TRAIN.md:20)
+# BENCH_EMBED: patch-embed lowering A/B — 'patchify' (default) | 'dot' | 'conv'
+EMBED = os.environ.get("BENCH_EMBED", "patchify")
 
 # Model FLOPs per clip for MFU reporting: student ViT-B fwd at 1568 tokens
 # = 12 x (24*N*d^2 + 4*N^2*d) + patch embed ~= 0.361 TF; backward ~= 2x fwd;
@@ -56,13 +58,13 @@ def main():
         "slot_vit_base_patch16_224",
         num_classes=400, num_scene_classes=365, num_latents=2,
         agg_depth=8, agg_weights_tie=True, dtype=jnp.bfloat16,
-        fused_attention=True, patch_embed_conv=False,
+        fused_attention=True, patch_embed_mode=EMBED,
     )
     # BENCH_TEACHER_INT8=1: the opt-in w8a8 teacher (nn/quant.py) — reported
     # as a separate A/B, never the headline (it perturbs teacher logits)
     teacher = create_model(
         "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,
-        dtype=jnp.bfloat16, fused_attention=True, patch_embed_conv=False,
+        dtype=jnp.bfloat16, fused_attention=True, patch_embed_mode=EMBED,
         int8_dense=bool(os.environ.get("BENCH_TEACHER_INT8")),
     )
 

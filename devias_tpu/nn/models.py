@@ -14,7 +14,7 @@ vectorized argmax/take (no per-sample python), unlike the reference's
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -97,6 +97,7 @@ class SlotViT(nn.Module):
     fused_attention: bool = False
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
+    patch_embed_mode: Optional[str] = None  # 'conv'|'patchify'|'dot'
     fused_interpret: bool = False
     input_norm: bool = False
     int8_dense: bool = False  # w8a8 backbone GEMMs (frozen-inference only)
@@ -121,6 +122,7 @@ class SlotViT(nn.Module):
             fused_attention=self.fused_attention,
             exact_gelu=self.exact_gelu,
             patch_embed_conv=self.patch_embed_conv,
+            patch_embed_mode=self.patch_embed_mode,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             int8_dense=self.int8_dense,
@@ -215,6 +217,7 @@ class PlainViT(nn.Module):
     fused_attention: bool = False
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
+    patch_embed_mode: Optional[str] = None  # 'conv'|'patchify'|'dot'
     fused_interpret: bool = False
     input_norm: bool = False
     int8_dense: bool = False  # w8a8 backbone GEMMs (frozen-inference only)
@@ -241,6 +244,7 @@ class PlainViT(nn.Module):
             fused_attention=self.fused_attention,
             exact_gelu=self.exact_gelu,
             patch_embed_conv=self.patch_embed_conv,
+            patch_embed_mode=self.patch_embed_mode,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             int8_dense=self.int8_dense,
@@ -290,6 +294,7 @@ class MultiTaskViT(nn.Module):
     fused_attention: bool = False
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
+    patch_embed_mode: Optional[str] = None  # 'conv'|'patchify'|'dot'
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -315,6 +320,7 @@ class MultiTaskViT(nn.Module):
             fused_attention=self.fused_attention,
             exact_gelu=self.exact_gelu,
             patch_embed_conv=self.patch_embed_conv,
+            patch_embed_mode=self.patch_embed_mode,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,
@@ -388,6 +394,7 @@ class SlotFusionViT(nn.Module):
     fused_attention: bool = False
     exact_gelu: bool = False  # force erf GELU even in bf16 (parity runs)
     patch_embed_conv: bool = True  # see nn/vit.py PatchEmbed3D lowerings
+    patch_embed_mode: Optional[str] = None  # 'conv'|'patchify'|'dot'
     fused_interpret: bool = False
     input_norm: bool = False
     dtype: Dtype = jnp.float32
@@ -411,6 +418,7 @@ class SlotFusionViT(nn.Module):
             fused_attention=self.fused_attention,
             exact_gelu=self.exact_gelu,
             patch_embed_conv=self.patch_embed_conv,
+            patch_embed_mode=self.patch_embed_mode,
             fused_interpret=self.fused_interpret,
             input_norm=self.input_norm,
             dtype=self.dtype,

@@ -362,20 +362,27 @@ class PatchEmbed3D(nn.Module):
     [B, D, T', H', W']. Kernel is stored as [tubelet*p*p*C, D] with the
     flattened patch laid out in (t, ph, pw, c) order.
 
-    Two lowerings, selected by `use_conv`:
-      * conv (space-to-depth `conv_general_dilated`) — best when the input
-        arrives straight from HBM in video layout;
-      * patchify + one [B*N, K] @ [K, D] matmul — best when an elementwise
-        producer (FAME's mix/normalize epilogue) can absorb the patchify
-        transpose, leaving a pure MXU-peak GEMM; also lets the student and
-        teacher share one patchified tensor via CSE.
-    Both are exactly the same math and parameter layout.
+    Three lowerings, selected by `mode` (`use_conv` kept as the legacy
+    boolean switch between the first two):
+      * 'conv' (space-to-depth `conv_general_dilated`) — best when the
+        input arrives straight from HBM in video layout;
+      * 'patchify' + one [B*N, K] @ [K, D] matmul — best when an
+        elementwise producer (FAME's mix/normalize epilogue) can absorb the
+        patchify transpose, leaving a pure MXU-peak GEMM; also lets the
+        student and teacher share one patchified tensor via CSE;
+      * 'dot' — one `dot_general` over the 8-D patch view with FOUR
+        contracting dims (dt, ph, pw, c): no explicit transpose in the
+        graph; XLA plans the single operand relayout it prefers instead of
+        the profile's back-to-back copy (2.3 ms) + reshape (1.0 ms) pair
+        the 'patchify' form produces (docs/PERF.md round-3 breakdown).
+    All are exactly the same math and parameter layout.
     """
 
     embed_dim: int = 768
     patch_size: int = 16
     tubelet_size: int = 2
     use_conv: bool = True
+    mode: Optional[str] = None  # overrides use_conv: 'conv'|'patchify'|'dot'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -385,6 +392,9 @@ class PatchEmbed3D(nn.Module):
         if H % p or W % p or T % tb:
             raise ValueError(f"input {x.shape} not divisible by patch {tb}x{p}x{p}")
         t, h, w = T // tb, H // p, W // p
+        mode = self.mode or ("conv" if self.use_conv else "patchify")
+        if mode not in ("conv", "patchify", "dot"):
+            raise ValueError(f"unknown patch-embed mode {mode!r}")
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -392,7 +402,14 @@ class PatchEmbed3D(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32)
-        if not self.use_conv:
+        if mode == "dot":
+            x8 = x.astype(self.dtype).reshape(B, t, tb, h, p, w, p, C)
+            k5 = kernel.reshape(tb, p, p, C, self.embed_dim).astype(self.dtype)
+            out = jax.lax.dot_general(
+                x8, k5, (((2, 4, 6, 7), (0, 1, 2, 3)), ((), ()))
+            )  # [B, t, h, w, D]
+            return out.reshape(B, t * h * w, self.embed_dim) + bias.astype(self.dtype)
+        if mode == "patchify":
             patches = patchify_video(x.astype(self.dtype), tb, p)
             return patches @ kernel.astype(self.dtype) + bias.astype(self.dtype)
         x = jax.lax.conv_general_dilated(
@@ -444,6 +461,7 @@ class VideoViT(nn.Module):
     # math; see PatchEmbed3D. matmul wins when an elementwise producer
     # (FAME) absorbs the patchify transpose.
     patch_embed_conv: bool = True
+    patch_embed_mode: Optional[str] = None  # 'conv'|'patchify'|'dot' (wins over the bool)
     # input_norm=True moves ImageNet normalization onto the device: the
     # pipeline ships uint8 (or [0,1] float) clips — 4x smaller host->device
     # transfers and no host-side float pass; the affine fuses into the
@@ -484,6 +502,7 @@ class VideoViT(nn.Module):
             patch_size=self.patch_size,
             tubelet_size=self.tubelet_size,
             use_conv=self.patch_embed_conv,
+            mode=self.patch_embed_mode,
             dtype=self.dtype,
             name="patch_embed",
         )(x)

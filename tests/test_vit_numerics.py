@@ -136,3 +136,30 @@ def test_gelu_exact_matches_torch():
     ours = np.asarray(jax.nn.gelu(jnp.asarray(x), approximate=False))
     ref = TF.gelu(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_patch_embed_lowerings_agree():
+    """conv, patchify+matmul, and multi-contraction dot_general are the same
+    linear map (PatchEmbed3D docstring; the 'dot' form exists so XLA can
+    plan a single operand relayout instead of the copy+reshape pair,
+    docs/PERF.md round-3)."""
+    import numpy as np
+    from devias_tpu.nn.vit import PatchEmbed3D
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 32, 32, 3)), jnp.float32)
+    mods = {m: PatchEmbed3D(embed_dim=96, mode=m) for m in ("conv", "patchify", "dot")}
+    params = mods["conv"].init({"params": jax.random.PRNGKey(0)}, x)
+    outs = {m: mod.apply(params, x) for m, mod in mods.items()}
+    assert outs["conv"].shape == (2, 2 * 2 * 2, 96)
+    np.testing.assert_allclose(outs["conv"], outs["patchify"], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs["patchify"], outs["dot"], rtol=1e-6, atol=1e-6)
+
+    # gradient wrt the kernel agrees too (the step differentiates through it)
+    def loss(m, p):
+        return (mods[m].apply(p, x) ** 2).sum()
+
+    g1 = jax.grad(lambda p: loss("patchify", p))(params)
+    g2 = jax.grad(lambda p: loss("dot", p))(params)
+    np.testing.assert_allclose(
+        g1["params"]["kernel"], g2["params"]["kernel"], rtol=1e-5, atol=1e-4
+    )
