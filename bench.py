@@ -42,7 +42,34 @@ FLOPS_PER_CLIP = 3 * 0.361e12 + 0.361e12 + 0.02e12  # ~1.464 TF
 V5E_PEAK_FLOPS = 197e12  # bf16
 
 
+def _await_backend(max_wait_s: float = 900.0):
+    """The axon TPU tunnel occasionally drops for minutes at a time
+    (observed 2026-08-18: >1 h outage, 'Unable to initialize backend'
+    UNAVAILABLE errors). The driver runs this script once at round end; a
+    transient flap must not turn into a missing BENCH artifact, so probe
+    the backend with exponential backoff before doing real work."""
+    import time as _time
+
+    deadline = _time.monotonic() + max_wait_s
+    delay = 10.0
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if _time.monotonic() > deadline:
+                raise
+            print(f"# backend unavailable ({e}); retrying in {delay:.0f}s", flush=True)
+            try:  # drop any cached failed-init state before the retry
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            _time.sleep(delay)
+            delay = min(delay * 2, 120.0)
+
+
 def main():
+    _await_backend()
     from devias_tpu.aug.fame import FAMEConfig
     from devias_tpu.losses import SlotLossConfig
     from devias_tpu.nn import create_model
