@@ -69,7 +69,8 @@ class Learned1D(nn.Module):
 
 
 class Learned2D(nn.Module):
-    """Learned row+col embedding (ref pos_encoding.py:76-102)."""
+    """Learned col+row embedding — the reference concatenates the COLUMN
+    (x) embedding first (ref pos_encoding.py:91-99)."""
 
     max_hw: int = 64
 
@@ -79,8 +80,8 @@ class Learned2D(nn.Module):
         cols = self.param("col_embed", nn.initializers.uniform(1.0), (self.max_hw, dim // 2))
         out = jnp.concatenate(
             [
-                jnp.repeat(rows[:h][:, None, :], w, axis=1),
                 jnp.repeat(cols[:w][None, :, :], h, axis=0),
+                jnp.repeat(rows[:h][:, None, :], w, axis=1),
             ],
             axis=-1,
         )
