@@ -29,11 +29,12 @@ def train_window_indices(
     all_index: List[int] = []
     for i in range(num_segment):
         if seg_len <= converted_len:
-            n = max(seg_len // frame_sample_rate, 1)
+            # mirror the reference formulas exactly, including the
+            # degenerate seg_len < rate case (empty linspace -> all pad)
+            # — ref kinetics.py:333-336
+            n = seg_len // frame_sample_rate
             index = np.linspace(0, seg_len, num=n)
-            index = np.concatenate(
-                (index, np.ones(max(clip_len - n, 0)) * seg_len)
-            )
+            index = np.concatenate((index, np.ones(clip_len - n) * seg_len))
             index = np.clip(index, 0, seg_len - 1).astype(np.int64)
         else:
             end_idx = int(rng.integers(converted_len, seg_len))
