@@ -305,6 +305,27 @@ def _install_torchvision():
     class VideoClips:  # imported by fame.py, never used
         pass
 
+    class Resize:
+        """torchvision.transforms.Resize(int) semantics: resize the SHORT
+        side to `size` preserving aspect (used by hat_decode.py:333 on
+        PIL images)."""
+
+        def __init__(self, size, interpolation=None):
+            self.size = size
+
+        def __call__(self, img):
+            from PIL import Image as _Image
+
+            w, h = img.size
+            if w <= h:
+                new = (self.size, int(self.size * h / w))
+            else:
+                new = (int(self.size * w / h), self.size)
+            if new == (w, h):
+                return img
+            return img.resize(new, _Image.BILINEAR)
+
+    transforms.Resize = Resize
     video_utils.VideoClips = VideoClips
     datasets.video_utils = video_utils
     tv.transforms = transforms

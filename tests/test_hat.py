@@ -111,3 +111,57 @@ def test_hat_through_build_dataset(hat_assets):
     )
     ds, nb = build_dataset(False, True, cfg)
     assert nb == 2 and len(ds) == 2
+
+
+def test_composite_matches_reference_compositor(hat_assets):
+    """Import-oracle: the reference's own VideoHATDataset.loadvideo_frame
+    (ref dataset/hat_decode.py:302-380) over the SAME on-disk assets must
+    produce pixel-identical composites (same-size fg/bg assets make its
+    short-side Resize an identity, isolating the sampling + CoM alignment +
+    threshold + paste logic)."""
+    import sys
+    import types
+
+    sys.path.append(os.path.dirname(__file__))
+    from _ref_oracle import load_reference
+
+    load_reference()
+    from dataset import hat_decode as ref_hat
+
+    recs = load_hat_annotation(hat_assets["anno"], hat_assets["data"], "Kinetics-HAT")
+    rec = recs[0]
+    n = hat_assets["n_frames"]
+    clip_len, rate = 4, 2
+
+    self = types.SimpleNamespace(clip_len=clip_len, frame_sample_rate=rate, num_segment=1)
+    draws = []
+    orig_randint = np.random.randint
+
+    def recording(*a, **k):
+        v = orig_randint(*a, **k)
+        draws.append(int(v))
+        return v
+
+    np.random.seed(21)
+    np.random.randint = recording
+    try:
+        ref_clip = ref_hat.VideoHATDataset.loadvideo_frame(
+            self, rec.fg_frames, n, rec.bg_len, rec.fg_masks, rec.bg_inpaint,
+            dataset="HAT-frame",
+        )
+    finally:
+        np.random.randint = orig_randint
+
+    from devias_tpu.data.samplers import train_window_indices
+
+    class _Replay:
+        def __init__(self, d):
+            self.d = list(d)
+
+        def integers(self, lo, hi=None, size=None):
+            return self.d.pop(0)
+
+    idx = train_window_indices(n, clip_len, rate, rng=_Replay(draws))
+    ours = composite_clip(rec, idx, "Kinetics-HAT", n)
+    assert ref_clip.shape == ours.shape
+    np.testing.assert_array_equal(ours, ref_clip)
