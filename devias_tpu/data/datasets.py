@@ -24,7 +24,7 @@ import numpy as np
 from devias_tpu.data import transforms as T
 from devias_tpu.data.filelist import FilelistEntry, read_filelist
 from devias_tpu.data.samplers import (
-    activitynet_window,
+    activitynet_indices,
     test_stride_indices,
     test_view_offsets,
     train_window_indices,
@@ -99,17 +99,29 @@ class VideoDataset:
             return SyntheticReader(seed=abs(hash(entry.path)) % (2**31))
         if self.frame_dirs or os.path.isdir(entry.path):
             return FrameFolderReader(entry.path, video_len=entry.video_len)
-        return open_video(entry.path)
+        path = entry.path
+        if entry.start is not None and not os.path.exists(path):
+            # ActivityNet filelists carry extension-less names; the
+            # reference probes mp4/mkv/webm (ref activitynet.py:219-228)
+            for ext in ("mp4", "mkv", "webm"):
+                if os.path.exists(f"{path}.{ext}"):
+                    path = f"{path}.{ext}"
+                    break
+        return open_video(path)
 
     def _load_clip(self, entry: FilelistEntry, train: bool) -> np.ndarray:
         cfg = self.cfg
         reader = self._open(entry)
         try:
             n = len(reader)
-            s, e = 0, n
+            s = 0
             if entry.start is not None:  # ActivityNet segment
-                s, e = activitynet_window(n, entry.start, entry.end, entry.duration)
-                n = e - s
+                # one loader for every mode, like the reference
+                # (ref activitynet.py:89,135 — validation draws randomly too)
+                idx = activitynet_indices(
+                    n, entry.start, entry.end, entry.duration, cfg.num_frames
+                )
+                return reader.get_batch(idx.tolist())
             if self.tsn:
                 idx = (
                     tsn_train_indices(n, cfg.num_frames)

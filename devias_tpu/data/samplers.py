@@ -110,15 +110,41 @@ def tsn_test_indices(num_frames: int, num_segment: int, test_num_segment: int = 
     return np.sort(np.asarray(idx, np.int64))
 
 
-def activitynet_window(
-    num_frames: int, start: float, end: float, duration: float
-) -> Tuple[int, int]:
-    """Frame range for the annotated [start, end] segment
-    (ref activitynet.py:71-83)."""
-    if duration <= 0:
-        return 0, num_frames
-    s = int(num_frames * max(start, 0) / duration)
-    e = int(num_frames * min(end, duration) / duration)
-    s = min(max(s, 0), max(num_frames - 1, 0))
-    e = min(max(e, s + 1), num_frames)
-    return s, e
+def activitynet_indices(
+    num_frames: int,
+    start: float,
+    end: float,
+    duration: float,
+    num_segment: int,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """ActivityNet segment sampling, exactly the reference's loader math
+    (ref activitynet.py:83-88 ratio rounding + :243-262 index build, used
+    for EVERY mode — the reference has one loader and it draws randomly in
+    validation too): ratios rounded to 5 places, frame range over
+    len(vr)-1, degenerate window clamped to length 1, TSN over the window,
+    and the degenerate-branch quirk `arange(start, start+ns) % length`
+    (which ignores the start offset)."""
+    rng = rng or np.random.default_rng()
+    if duration <= 0:  # defensive; the reference would divide by zero
+        duration = 1.0
+    start_ratio = round(float(start) / float(duration), 5)
+    end_ratio = round(float(end) / float(duration), 5)
+    if end_ratio > 1:
+        end_ratio = 1.0
+    total = num_frames - 1
+    s = int(start_ratio * total)
+    e = int(end_ratio * total)
+    length = e - s
+    if length <= 0:
+        length = 1
+    avg = length // num_segment
+    if avg > 0:
+        idx = s + np.arange(num_segment) * avg + np.asarray(
+            rng.integers(avg, size=num_segment)
+        )
+    elif length > num_segment:
+        idx = s + np.sort(np.asarray(rng.integers(length, size=num_segment)))
+    else:
+        idx = np.arange(s, s + num_segment) % length
+    return idx.astype(np.int64)

@@ -195,3 +195,57 @@ def test_tsn_test_indices_match_reference(frames):
     ref_idx, _ = _ref_ssv2_indices("test", frames, num_segment=16)
     ours = tsn_test_indices(frames, 16, test_num_segment=2)
     np.testing.assert_array_equal(ours, ref_idx)
+
+
+@pytest.mark.parametrize(
+    "frames,start,end,duration",
+    [
+        (400, 5.0, 60.0, 100.0),   # normal segment, avg>0 branch
+        (100, 10.0, 14.0, 100.0),  # short window: sorted-random branch
+        (100, 50.0, 50.5, 100.0),  # degenerate: length clamped to 1
+        (200, 0.0, 250.0, 100.0),  # end beyond duration -> ratio capped at 1
+    ],
+)
+def test_activitynet_indices_match_reference(frames, start, end, duration):
+    from dataset import activitynet as ref_anet
+    from devias_tpu.data.samplers import activitynet_indices
+
+    cls = None
+    for name in dir(ref_anet):
+        obj = getattr(ref_anet, name)
+        if isinstance(obj, type) and hasattr(obj, "loadvideo_decord"):
+            cls = obj
+            break
+    assert cls is not None, "no dataset class with loadvideo_decord in reference"
+
+    self = types.SimpleNamespace(num_segment=16, keep_aspect_ratio=True,
+                                 data_path="")
+    _FakeVR.length = frames
+    _FakeVR.last_indices = None
+    draws = []
+    orig_randint = np.random.randint
+
+    def recording(*a, **k):
+        v = orig_randint(*a, **k)
+        draws.append(v)
+        return v
+
+    saved = (ref_anet.VideoReader, ref_anet.cpu,
+             ref_anet.os.path.exists, ref_anet.os.path.getsize)
+    ref_anet.VideoReader = _FakeVR
+    ref_anet.cpu = lambda i: None
+    ref_anet.os.path.exists = lambda p: True
+    ref_anet.os.path.getsize = lambda p: 1 << 20
+    start_ratio = round(float(start) / float(duration), 5)
+    end_ratio = min(round(float(end) / float(duration), 5), 1.0)
+    np.random.seed(7)
+    np.random.randint = recording
+    try:
+        cls.loadvideo_decord(self, "fake.mp4", start_ratio, end_ratio)
+    finally:
+        np.random.randint = orig_randint
+        (ref_anet.VideoReader, ref_anet.cpu, ref_anet.os.path.exists,
+         ref_anet.os.path.getsize) = saved
+
+    ours = activitynet_indices(frames, start, end, duration, 16, rng=_ReplayRng(draws))
+    np.testing.assert_array_equal(ours, _FakeVR.last_indices)
