@@ -285,7 +285,10 @@ class PlacesDataset:
         else:
             img = np.asarray(Image.open(e.path).convert("RGB"))
         clip = np.repeat(img[None], self.cfg.num_frames, axis=0)
-        clip = T.val_transform(clip, self.cfg.short_side_size, self.cfg.input_size)
+        # the reference hard-codes Resize(256) + CenterCrop(224) for the
+        # scene probe, ignoring the run's input geometry
+        # (ref dataset/datasets.py:581-586)
+        clip = T.val_transform(clip, 256, 224)
         return {"videos": clip, "labels": np.int64(e.label), "video_id": _vid(e.path)}
 
 

@@ -274,3 +274,28 @@ def test_repeated_augmentation_collate(tmp_path):
     # 2 samples x 2 repeats flattened (ref utils/utils.py:551-573)
     assert batch["videos"].shape == (4, 8, 64, 64, 3)
     assert batch["labels"].tolist() == [1, 1, 2, 2]
+
+
+def test_places_inflate_fixed_geometry(tmp_path):
+    """The scene probe resizes short side to 256 then center-crops 224
+    REGARDLESS of the run geometry (ref dataset/datasets.py:581-586) —
+    a config-sized resize would shift every kNN scene feature."""
+    from PIL import Image
+
+    from devias_tpu.data.datasets import DataConfig, PlacesDataset
+    from devias_tpu.data.filelist import FilelistEntry
+    from devias_tpu.data.transforms import val_transform
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(300, 400, 3), dtype=np.uint8)
+    p = tmp_path / "scene.jpg"
+    Image.fromarray(img).save(p, quality=100)
+
+    cfg = DataConfig(data_set="Places365", anno_path="x", data_prefix="",
+                     num_frames=4, input_size=160, short_side_size=160)
+    ds = PlacesDataset([FilelistEntry(path=str(p), label=7)], cfg)
+    out = ds[0]
+    assert out["videos"].shape == (4, 224, 224, 3)
+    loaded = np.asarray(Image.open(p).convert("RGB"))
+    expect = val_transform(np.repeat(loaded[None], 4, axis=0), 256, 224)
+    np.testing.assert_allclose(out["videos"], expect, atol=1e-6)
