@@ -249,3 +249,36 @@ def test_activitynet_indices_match_reference(frames, start, end, duration):
 
     ours = activitynet_indices(frames, start, end, duration, 16, rng=_ReplayRng(draws))
     np.testing.assert_array_equal(ours, _FakeVR.last_indices)
+
+
+@pytest.mark.parametrize(
+    "base,final,epochs,niter,warmup_epochs,warmup_steps,start",
+    [
+        (1e-3, 1e-5, 5, 20, 1, -1, 0.0),    # epoch-derived warmup
+        (1e-3, 1e-5, 5, 20, 1, 7, 0.0),     # warmup_steps override
+        (1e-3, 1e-6, 3, 50, 0, -1, 0.0),    # no warmup
+        (0.05, 0.02, 4, 25, 0, -1, 0.0),    # wd-style schedule
+        (5e-4, 1e-6, 2, 10, 1, 3, 1e-6),    # nonzero warmup start
+    ],
+)
+def test_cosine_schedule_matches_reference_array(
+    base, final, epochs, niter, warmup_epochs, warmup_steps, start
+):
+    """Direct array equality vs the reference cosine_scheduler (ref
+    utils/utils.py:422-439) — the trajectory goldens pin it through the
+    engines for one config; this sweeps the flag combinations."""
+    from utils import utils as ref_utils
+
+    from devias_tpu.core.schedules import cosine_schedule
+
+    ref = ref_utils.cosine_scheduler(
+        base, final, epochs, niter, warmup_epochs=warmup_epochs,
+        start_warmup_value=start, warmup_steps=warmup_steps,
+    )
+    total = epochs * niter
+    warm = warmup_steps if warmup_steps > 0 else warmup_epochs * niter
+    if warmup_epochs <= 0:
+        warm = 0
+    fn = cosine_schedule(base, final, total, warmup_steps=warm, warmup_start=start)
+    ours = np.asarray([float(fn(s)) for s in range(total)])
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-9)
