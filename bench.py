@@ -54,14 +54,20 @@ def _await_backend(max_wait_s: float = 900.0):
     delay = 10.0
     while True:
         try:
-            jax.devices()
+            devs = jax.devices()
+            # a failed TPU init can leave a cached CPU-only backend set;
+            # benchmarking CPU would be a silently bogus artifact
+            if all(d.platform == "cpu" for d in devs):
+                raise RuntimeError("only CPU devices visible; TPU tunnel down")
             return
         except RuntimeError as e:
             if _time.monotonic() > deadline:
                 raise
             print(f"# backend unavailable ({e}); retrying in {delay:.0f}s", flush=True)
             try:  # drop any cached failed-init state before the retry
-                jax.extend.backend.clear_backends()
+                import jax.extend.backend as _jeb
+
+                _jeb.clear_backends()
             except Exception:
                 pass
             _time.sleep(delay)

@@ -96,8 +96,12 @@ def main(args=None):
     @jax.jit
     def _scene_logits(p, videos):
         out = model.apply({"params": p}, videos, deterministic=True)
-        logits = out["scene_logit"]
-        return logits[:, args.nb_classes :] if args.unified_head else logits
+        # ALWAYS full width: final_test_with_scene_label has a unified_head
+        # slice branch (ref engine_for_multi_task.py:266-268) but every
+        # reference call site leaves the flag at its False default
+        # (run_multi_task_finetuning.py:587,594,601; hat_eval.py:61;
+        # run_scuba.py:69) — the slice is dead code there
+        return out["scene_logit"]
 
     @jax.jit
     def teacher_logits_fn(videos):

@@ -144,6 +144,9 @@ def activitynet_indices(
             rng.integers(avg, size=num_segment)
         )
     elif length > num_segment:
+        # mirrored from the reference but mathematically unreachable:
+        # avg == 0 implies length < num_segment (ref activitynet.py:258,
+        # same dead branch there)
         idx = s + np.sort(np.asarray(rng.integers(length, size=num_segment)))
     else:
         idx = np.arange(s, s + num_segment) % length

@@ -201,7 +201,7 @@ def test_tsn_test_indices_match_reference(frames):
     "frames,start,end,duration",
     [
         (400, 5.0, 60.0, 100.0),   # normal segment, avg>0 branch
-        (100, 10.0, 14.0, 100.0),  # short window: sorted-random branch
+        (100, 10.0, 14.0, 100.0),  # length < num_segment: arange % length quirk
         (100, 50.0, 50.5, 100.0),  # degenerate: length clamped to 1
         (200, 0.0, 250.0, 100.0),  # end beyond duration -> ratio capped at 1
     ],
