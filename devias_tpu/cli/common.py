@@ -109,6 +109,18 @@ def build_shared_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--world_size", default=1, type=int)
     p.add_argument("--enable_deepspeed", action="store_true", default=False,
                    help="accepted for command compatibility; bf16 needs no engine")
+    # torch-launcher compatibility no-ops: every reference script accepts
+    # these (ref run_slot_finetuning.py:87-88,222-228); torchrun's rank env
+    # and NCCL URL have no TPU analog (jax.distributed reads its own env)
+    # and the EMA always lives on device here.
+    p.add_argument("--model_ema_force_cpu", action="store_true", default=False,
+                   help="accepted for command compatibility (no-op on TPU)")
+    p.add_argument("--local_rank", "--local-rank", default=-1, type=int,
+                   help="accepted for command compatibility (torchrun no-op)")
+    p.add_argument("--dist_on_itp", action="store_true",
+                   help="accepted for command compatibility (no-op)")
+    p.add_argument("--dist_url", default="env://",
+                   help="accepted for command compatibility (no-op)")
     # devias_tpu extensions
     p.add_argument("--zero1", action="store_true", default=False,
                    help="devias_tpu extension: shard AdamW moments over the "
@@ -406,3 +418,135 @@ def finetune_surgery(args, model_kind: str, params, num_classes_total: int,
     print(f"finetune load: {len(report['loaded'])} tensors; "
           f"{len(report['unused_in_ckpt'])} ckpt keys unused")
     return merged, report
+
+
+def run_knn_protocol(args, feature_fn, teacher_logits_fn, rank: int) -> dict:
+    """The k-NN disentanglement probe (ref utils/eval/run_knn.py:166-273):
+    for HMDB51 / UCF101 / Diving-48, extract (action, scene) features on
+    train+test splits, assemble cross-host banks, dump features, and run
+    the 4-way feature/label cross matrix at k in --nb_knn, T=0.07.
+
+    feature_fn(videos) -> (action_feat, scene_feat). Shared by the slot CLI
+    (slot features) and the multi-task CLI (CLS/scene tokens — the
+    reference's own multi-task --run_knn path crashes on an arity mismatch,
+    run_multi_task_finetuning.py:619 vs run_knn.py:166; here it works).
+    """
+    from devias_tpu.data.datasets import knn_build_dataset
+    from devias_tpu.data.loader import shard_indices
+    from devias_tpu.eval.knn import (
+        extract_slot_features,
+        gather_features_across_hosts,
+        run_knn_matrix,
+        save_knn_features,
+    )
+
+    results = {}
+    for data_set in ("HMDB51", "UCF101", "Diving-48"):
+        try:
+            cfg = make_data_config(args, data_set=data_set)
+            # BOTH splits use deterministic validation transforms
+            # (ref dataset/datasets.py:474,504 mode='validation')
+            tr, _ = knn_build_dataset(True, cfg)
+            te, _ = knn_build_dataset(False, cfg)
+        except (FileNotFoundError, ValueError):
+            continue
+        # always sharded+padded across hosts: the banks are assembled
+        # with fixed-shape process_allgather (unpadded/dist_eval-gated
+        # shards would either duplicate every sample into the bank or
+        # make the gather shapes ragged)
+        tr_l = make_eval_loader(tr, args, all_hosts=True)
+        te_l = make_eval_loader(te, args, all_hosts=True)
+        tra, trs, tral, trsl = extract_slot_features(
+            tr_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
+        tea, tes, teal, tesl = extract_slot_features(
+            te_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
+
+        # multi-host: scatter per-host shards into dataset-index order;
+        # the padded shards' duplicate rows collapse exactly as the
+        # reference's index_copy_ bank does (ref run_knn.py:72-119)
+        def host_idx(ds):
+            return shard_indices(
+                len(ds), jax.process_index(), jax.process_count(),
+                False, 0, 0, True,
+            )
+
+        tra, trs, tral, trsl = gather_features_across_hosts(
+            tra, trs, tral, trsl, n_total=len(tr), local_indices=host_idx(tr))
+        tea, tes, teal, tesl = gather_features_across_hosts(
+            tea, tes, teal, tesl, n_total=len(te), local_indices=host_idx(te))
+        if rank == 0 and args.output_dir:
+            # feature dump (ref run_knn.py:230-237 file naming)
+            save_knn_features(args.output_dir, data_set, {
+                "train_action_features": tra, "train_scene_features": trs,
+                "test_action_features": tea, "test_scene_features": tes,
+                "train_action_labels": tral, "test_action_labels": teal,
+                "train_scene_labels": trsl, "test_scene_labels": tesl,
+            })
+        results[data_set] = run_knn_matrix(
+            tra, trs, tral, trsl, tea, tes, teal, tesl,
+            nb_knn=args.nb_knn, temperature=args.temperature,
+            num_action_classes=max(int(tral.max()) + 1, 1),
+            num_scene_classes=365,
+        )
+    return results
+
+
+def make_scuba_loader(args, variant: str):
+    """SCUBA test loader for one background variant, forced 2x3 views
+    (ref utils/eval/run_scuba.py:10-19: the harness rewrites data_path to
+    filelist/scuba/<k400|ucf101> and pins test_num_segment/crop)."""
+    from devias_tpu.data import build_dataset
+
+    ds_key = {"Kinetics-400": "k400", "UCF101": "ucf101"}.get(args.data_set, "ucf101")
+    cfg = make_data_config(
+        args, data_set="SCUBA",
+        anno_path=os.path.join("filelist/scuba", ds_key, f"{variant}.csv"),
+        test_num_segment=2, test_num_crop=3,
+    )
+    ds, _ = build_dataset(False, True, cfg)
+    return make_eval_loader(ds, args)
+
+
+def make_hat_loader_factory(args):
+    """-> (make_loader(version, split) -> test DataLoader, versions tuple).
+
+    Mirrors the reference harness's path conventions
+    (ref utils/eval/hat_eval.py:8-34):
+    - the HAT dataset flavor is derived from --hat_anno_path ('kinetics' in
+      the path -> Kinetics-HAT, 'ucf101' -> UCF101-HAT);
+    - when the path's last component IS a version dir ({far, rand, close} —
+      how the reference is always invoked, e.g. filelist/hat/ucf101/rand),
+      only that version's 3 splits are evaluated;
+    - otherwise all 3 versions are evaluated, looking for
+      <anno>/<ver>/actionswap_<ver>_<split>.pickle and falling back to a
+      flat <anno>/actionswap_<ver>_<split>.pickle layout.
+    """
+    from devias_tpu.data import build_dataset
+
+    anno = args.hat_anno_path.rstrip("/")
+    low = anno.lower()
+    if "kinetics" in low:
+        data_set = "Kinetics-HAT"
+    elif "ucf101" in low:
+        data_set = "UCF101-HAT"
+    elif args.data_set.endswith("-HAT"):
+        data_set = args.data_set
+    else:
+        data_set = {"Kinetics-400": "Kinetics-HAT"}.get(args.data_set, "UCF101-HAT")
+
+    base = os.path.basename(anno)
+    versions = (base,) if base in ("far", "rand", "close") else ("far", "rand", "close")
+
+    def make_hat_loader(ver, split):
+        candidates = [os.path.join(anno, f"actionswap_{ver}_{split}.pickle")]
+        if base not in ("far", "rand", "close"):
+            candidates.insert(0, os.path.join(anno, ver, f"actionswap_{ver}_{split}.pickle"))
+        path = next((c for c in candidates if os.path.exists(c)), candidates[0])
+        cfg = make_data_config(
+            args, data_set=data_set, anno_path=path,
+            test_num_segment=2, test_num_crop=3,
+        )
+        ds, _ = build_dataset(False, True, cfg)
+        return make_eval_loader(ds, args)
+
+    return make_hat_loader, versions

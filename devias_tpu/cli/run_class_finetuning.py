@@ -45,6 +45,7 @@ def get_args(argv=None):
     parser.add_argument("--use_mean_pooling", action="store_true", default=True)
     parser.add_argument("--run_scuba", action="store_true", default=False)
     parser.add_argument("--hat_eval", action="store_true")
+    parser.add_argument("--hat_split", default="1", choices=["1", "2", "3"], type=str)
     parser.add_argument("--hat_anno_path", default="", type=str)
     parser.add_argument("--scene_labels_from", default="", type=str,
                         help="scene-teacher ckpt: train against its argmax "
@@ -99,28 +100,17 @@ def main(args=None):
                 top1, top5 = merge_results(os.path.join(out_dir, "test"), ntasks)
                 print(f"Final top-1 {top1:.2f} top-5 {top5:.2f}")
         if args.run_scuba:
-            def make_loader(variant):
-                cfg = make_data_config(
-                    args, data_set="SCUBA",
-                    anno_path=os.path.join("filelist/scuba",
-                                           "k400" if args.data_set == "Kinetics-400" else "ucf101",
-                                           f"{variant}.csv"),
-                    test_num_segment=2, test_num_crop=3,
-                )
-                ds, _ = build_dataset(False, True, cfg)
-                return make_eval_loader(ds, args)
-            print("SCUBA:", run_scuba(make_loader, logits_fn, args.batch_size, out_dir,
+            from devias_tpu.cli.common import make_scuba_loader
+
+            print("SCUBA:", run_scuba(lambda v: make_scuba_loader(args, v),
+                                      logits_fn, args.batch_size, out_dir,
                                       num_tasks=ntasks, rank=rank))
         if args.hat_eval:
-            def make_hat_loader(ver, split):
-                cfg = make_data_config(
-                    args,
-                    anno_path=os.path.join(args.hat_anno_path, f"actionswap_{ver}_{split}.pickle"),
-                    test_num_segment=2, test_num_crop=3,
-                )
-                ds, _ = build_dataset(False, True, cfg)
-                return make_eval_loader(ds, args)
-            print("HAT:", hat_eval(make_hat_loader, logits_fn, args.batch_size, out_dir,
+            from devias_tpu.cli.common import make_hat_loader_factory
+
+            make_hat_loader, versions = make_hat_loader_factory(args)
+            print("HAT:", hat_eval(make_hat_loader, logits_fn, args.batch_size,
+                                   out_dir, versions=versions,
                                    num_tasks=ntasks, rank=rank))
         return
 

@@ -40,6 +40,20 @@ def get_args(argv=None):
     parser.add_argument("--logit_criterion_weight", default=1.0, type=float)
     parser.add_argument("--scene_model_path", default="", type=str)
     parser.add_argument("--eval_scene", action="store_true")
+    # unseen-combination protocols on the multi-task baseline
+    # (ref run_multi_task_finetuning.py:87-88,214-216,583-619)
+    parser.add_argument("--run_knn", action="store_true", default=False)
+    parser.add_argument("--run_scuba", action="store_true", default=False)
+    parser.add_argument("--hat_eval", action="store_true", default=False)
+    parser.add_argument("--hat_split", default="1", choices=["1", "2", "3"], type=str)
+    parser.add_argument("--hat_anno_path", default="", type=str)
+    parser.add_argument("--nb_knn", default=[10, 20], nargs="+", type=int)
+    parser.add_argument("--temperature", default=0.07, type=float)
+    parser.add_argument(
+        "--slicing", action="store_true", default=False,
+        help="accepted for command compatibility: defined by the reference "
+             "parser (run_multi_task_finetuning.py:114) but read nowhere",
+    )
     parser.set_defaults(model="disentangle_vit_base_patch16_224")
     return parser.parse_args(argv)
 
@@ -114,6 +128,40 @@ def main(args=None):
     out_dir = args.output_dir or "."
     ntasks = world if args.dist_eval else 1
 
+    # pure evaluation modes, in the reference's exclusive dispatch order
+    # (ref run_multi_task_finetuning.py:583-620: hat -> scuba -> eval -> knn,
+    # each `exit(0)`s)
+    if args.hat_eval:
+        # scene or action HAT on the multi-task baseline
+        # (ref run_multi_task_finetuning.py:583-589)
+        from devias_tpu.cli.common import make_hat_loader_factory
+        from devias_tpu.eval import hat_eval
+
+        make_hat_loader, versions = make_hat_loader_factory(args)
+        if args.eval_scene:
+            res = hat_eval(make_hat_loader, scene_logits_fn, args.batch_size,
+                           out_dir, versions=versions, num_tasks=ntasks,
+                           rank=rank, scene_label_fn=teacher_logits_fn)
+        else:
+            res = hat_eval(make_hat_loader, action_logits_fn, args.batch_size,
+                           out_dir, versions=versions, num_tasks=ntasks, rank=rank)
+        print("HAT:", res)
+        return
+
+    if args.run_scuba:
+        # the MT reference always runs BOTH the FG (action) and BG
+        # (scene-vs-teacher) SCUBA tests (run_multi_task_finetuning.py:594)
+        from devias_tpu.cli.common import make_scuba_loader
+        from devias_tpu.eval import run_scuba
+
+        res = run_scuba(lambda v: make_scuba_loader(args, v),
+                        action_logits_fn, args.batch_size, out_dir,
+                        bg_forward_fn=scene_logits_fn,
+                        bg_scene_label_fn=teacher_logits_fn,
+                        num_tasks=ntasks, rank=rank)
+        print("SCUBA:", res)
+        return
+
     if args.eval or args.eval_scene:
         ds_test, _ = build_dataset(False, True, make_data_config(args))
         loader = make_eval_loader(ds_test, args)
@@ -130,6 +178,21 @@ def main(args=None):
             if rank == 0:
                 top1, top5 = merge_results(os.path.join(out_dir, "scene_test"), ntasks)
                 print(f"Scene top-1 {top1:.2f} top-5 {top5:.2f}")
+        return
+
+    if args.run_knn:
+        # the reference's own MT --run_knn crashes on an arity mismatch
+        # (run_multi_task_finetuning.py:619 calls run_knn(model, args)
+        # against run_knn.py:166's 3-arg signature); here the probe runs
+        # on the CLS/scene tokens.
+        from devias_tpu.cli.common import run_knn_protocol
+
+        @jax.jit
+        def feature_fn(videos):
+            out = model.apply({"params": params_ref[0]}, videos, deterministic=True)
+            return out["action_token"], out["scene_token"]
+
+        print("kNN:", run_knn_protocol(args, feature_fn, teacher_logits_fn, rank))
         return
 
     ds_train, _ = build_dataset(True, False, make_data_config(args))

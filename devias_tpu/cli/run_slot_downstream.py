@@ -46,7 +46,12 @@ def get_args(argv=None):
     parser.add_argument("--num_latents", type=int, default=2)
     parser.add_argument("--head_type", type=str, default="mlp")
     parser.add_argument("--agg_block_scale", type=float, default=1.0)
-    parser.set_defaults(model="slot_fusion_vit_base_patch16_224")
+    # accepted for command compatibility: the reference downstream parser
+    # defines the mean-pooling toggles (run_slot_downstream.py:149-151) but
+    # the slot-fusion model never reads use_mean_pooling.
+    parser.add_argument("--use_mean_pooling", action="store_true")
+    parser.add_argument("--use_cls", action="store_false", dest="use_mean_pooling")
+    parser.set_defaults(model="slot_fusion_vit_base_patch16_224", use_mean_pooling=True)
     return parser.parse_args(argv)
 
 

@@ -328,8 +328,28 @@ def main(args=None):
 
 def run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
                     teacher_logits_fn, rank, world):
+    """Reference dispatch order with the same exclusivity: HAT exits before
+    anything else runs (ref run_slot_finetuning.py:604-611 `exit(0)`), so
+    --hat_eval --eval_scene means scene HAT only, never the plain scene
+    test on top."""
     out_dir = args.output_dir or "."
     ntasks = world if args.dist_eval else 1
+
+    if args.hat_eval:
+        from devias_tpu.cli.common import make_hat_loader_factory
+
+        make_hat_loader, versions = make_hat_loader_factory(args)
+        if args.eval_scene:
+            # scene HAT: scene logits vs teacher argmax (ref
+            # run_slot_finetuning.py:606-609, hat_eval.py:61)
+            res = hat_eval(make_hat_loader, scene_logits_fn, args.batch_size,
+                           out_dir, versions=versions, num_tasks=ntasks,
+                           rank=rank, scene_label_fn=teacher_logits_fn)
+        else:
+            res = hat_eval(make_hat_loader, action_logits_fn, args.batch_size,
+                           out_dir, versions=versions, num_tasks=ntasks, rank=rank)
+        print("HAT:", res)
+        return
 
     if args.eval:
         ds_test, _ = build_dataset(False, True, make_data_config(args))
@@ -356,84 +376,15 @@ def run_evaluations(args, model, params_ref, action_logits_fn, scene_logits_fn,
                         args.batch_size, out_dir, num_tasks=ntasks, rank=rank)
         print("SCUBA:", res)
 
-    if args.hat_eval:
-        def make_hat_loader(ver, split):
-            cfg = make_data_config(
-                args,
-                anno_path=os.path.join(args.hat_anno_path, f"actionswap_{ver}_{split}.pickle"),
-                test_num_segment=2, test_num_crop=3,
-            )
-            ds, _ = build_dataset(False, True, cfg)
-            return make_eval_loader(ds, args)
-
-        res = hat_eval(make_hat_loader, action_logits_fn, args.batch_size, out_dir,
-                       num_tasks=ntasks, rank=rank)
-        print("HAT:", res)
-
     if args.run_knn:
-        from devias_tpu.data.datasets import knn_build_dataset
-        from devias_tpu.eval.knn import (
-            extract_slot_features,
-            gather_features_across_hosts,
-            run_knn_matrix,
-            save_knn_features,
-        )
+        from devias_tpu.cli.common import run_knn_protocol
 
         @jax.jit
         def feature_fn(videos):
             out = model.apply({"params": params_ref[0]}, videos, deterministic=True)
             return out["action_feat"], out["scene_feat"]
 
-        results = {}
-        for data_set in ("HMDB51", "UCF101", "Diving-48"):
-            try:
-                cfg = make_data_config(args, data_set=data_set)
-                # BOTH splits use deterministic validation transforms
-                # (ref dataset/datasets.py:474,504 mode='validation')
-                tr, _ = knn_build_dataset(True, cfg)
-                te, _ = knn_build_dataset(False, cfg)
-            except (FileNotFoundError, ValueError):
-                continue
-            # always sharded+padded across hosts: the banks are assembled
-            # with fixed-shape process_allgather (unpadded/dist_eval-gated
-            # shards would either duplicate every sample into the bank or
-            # make the gather shapes ragged)
-            tr_l = make_eval_loader(tr, args, all_hosts=True)
-            te_l = make_eval_loader(te, args, all_hosts=True)
-            tra, trs, tral, trsl = extract_slot_features(
-                tr_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
-            tea, tes, teal, tesl = extract_slot_features(
-                te_l, feature_fn, args.batch_size, scene_label_fn=teacher_logits_fn)
-            # multi-host: scatter per-host shards into dataset-index order;
-            # the padded shards' duplicate rows collapse exactly as the
-            # reference's index_copy_ bank does (ref run_knn.py:72-119)
-            from devias_tpu.data.loader import shard_indices
-
-            def host_idx(ds):
-                return shard_indices(
-                    len(ds), jax.process_index(), jax.process_count(),
-                    False, 0, 0, True,
-                )
-
-            tra, trs, tral, trsl = gather_features_across_hosts(
-                tra, trs, tral, trsl, n_total=len(tr), local_indices=host_idx(tr))
-            tea, tes, teal, tesl = gather_features_across_hosts(
-                tea, tes, teal, tesl, n_total=len(te), local_indices=host_idx(te))
-            if rank == 0 and args.output_dir:
-                # feature dump (ref run_knn.py:230-237 file naming)
-                save_knn_features(args.output_dir, data_set, {
-                    "train_action_features": tra, "train_scene_features": trs,
-                    "test_action_features": tea, "test_scene_features": tes,
-                    "train_action_labels": tral, "test_action_labels": teal,
-                    "train_scene_labels": trsl, "test_scene_labels": tesl,
-                })
-            results[data_set] = run_knn_matrix(
-                tra, trs, tral, trsl, tea, tes, teal, tesl,
-                nb_knn=args.nb_knn, temperature=args.temperature,
-                num_action_classes=max(int(tral.max()) + 1, 1),
-                num_scene_classes=365,
-            )
-        print("kNN:", results)
+        print("kNN:", run_knn_protocol(args, feature_fn, teacher_logits_fn, rank))
 
 
 def _scuba_ds(args) -> str:
@@ -441,13 +392,9 @@ def _scuba_ds(args) -> str:
 
 
 def _make_scuba_loader(args, variant: str):
-    cfg = make_data_config(
-        args, data_set="SCUBA",
-        anno_path=os.path.join("filelist/scuba", _scuba_ds(args), f"{variant}.csv"),
-        test_num_segment=2, test_num_crop=3,
-    )
-    ds, _ = build_dataset(False, True, cfg)
-    return make_eval_loader(ds, args)
+    from devias_tpu.cli.common import make_scuba_loader
+
+    return make_scuba_loader(args, variant)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,12 @@ def get_args(argv=None):
     parser.add_argument("--agg_block_scale", type=float, default=0.1)
     parser.add_argument("--head_type", type=str, default="linear")
     parser.add_argument("--slot_matching_method", type=str, default="matching")
+    # accepted for command compatibility: defined by the reference parser
+    # (run_slot_finetuning_hvu.py:49,57,178) but read nowhere in it — HVU
+    # trains with real scene labels (no teacher) and never runs kNN.
+    parser.add_argument("--scene_model_path", default="", type=str)
+    parser.add_argument("--nb_knn", default=[10, 20], nargs="+", type=int)
+    parser.add_argument("--eval_data_path", default=None, type=str)
     parser.set_defaults(model="slot_vit_base_patch16_224", data_set="HVU")
     return parser.parse_args(argv)
 

@@ -117,12 +117,18 @@ def run_scuba(
     output_dir: str,
     scuba_variants: Sequence[str] = ("vqgan", "places365", "sinusoidal"),
     bg_forward_fn=None,
+    bg_scene_label_fn=None,
     num_tasks: int = 1,
     rank: int = 0,
 ) -> Dict[str, Dict[str, float]]:
     """For each SCUBA background variant: build the test loader (caller maps
     variant -> DataConfig, forcing 2x3 views as the reference does,
-    ref run_scuba.py:19), final_test + merge into scuba/<variant>/log.txt."""
+    ref run_scuba.py:19), final_test + merge into scuba/<variant>/log.txt.
+
+    When bg_forward_fn is given, also run the BG (scene) test on the same
+    dataset — scene logits scored against the teacher's argmax pseudo label
+    (ref run_scuba.py:62-79, the test_scene_func branch the multi-task CLI
+    uses) — into scuba/<variant>_bg."""
     results = {}
     for variant in scuba_variants:
         loader = make_loader(variant)
@@ -133,6 +139,15 @@ def run_scuba(
             results[variant] = {"acc1": top1, "acc5": top5}
             with open(os.path.join(vdir, "log.txt"), "w") as f:
                 f.write(json.dumps({"Final top-1": top1, "Final Top-5": top5}) + "\n")
+        if bg_forward_fn is not None:
+            bdir = os.path.join(output_dir, "scuba", f"{variant}_bg")
+            final_test(make_loader(variant), bg_forward_fn, batch_size, bdir,
+                       rank=rank, scene_label_fn=bg_scene_label_fn)
+            if rank == 0:
+                top1, top5 = merge_results(bdir, num_tasks)
+                results[f"{variant}_bg"] = {"acc1": top1, "acc5": top5}
+                with open(os.path.join(bdir, "log.txt"), "w") as f:
+                    f.write(json.dumps({"Final top-1": top1, "Final Top-5": top5}) + "\n")
     return results
 
 
@@ -152,17 +167,24 @@ def hat_eval(
     versions: Sequence[str] = HAT_VERSIONS,
     num_tasks: int = 1,
     rank: int = 0,
+    scene_label_fn=None,
 ) -> Dict[str, Dict[str, float]]:
     """For each version in {far, rand, close}: eval the 3 actionswap splits
     (make_loader(version, split) -> test DataLoader), write per-split
-    log.txt, then average (ref hat_eval.py:22-79)."""
+    log.txt, then average (ref hat_eval.py:22-79).
+
+    scene_label_fn: when given, this is the reference's --eval_scene HAT
+    variant (final_test_with_scene_label + scene_model, ref hat_eval.py:61,
+    run_slot_finetuning.py:609) — forward_fn should return scene logits and
+    targets come from the teacher argmax."""
     results = {}
     for ver in versions:
         per_split = []
         for split in HAT_SPLITS:
             loader = make_loader(ver, split)
             sdir = os.path.join(output_dir, "hat", ver, str(split))
-            final_test(loader, forward_fn, batch_size, sdir, rank=rank)
+            final_test(loader, forward_fn, batch_size, sdir, rank=rank,
+                       scene_label_fn=scene_label_fn)
             if rank == 0:
                 top1, top5 = merge_results(sdir, num_tasks)
                 with open(os.path.join(sdir, "log.txt"), "w") as f:

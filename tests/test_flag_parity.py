@@ -1,0 +1,157 @@
+"""Flag-surface parity vs the reference entry points.
+
+A user of the reference drives it entirely through six argparse CLIs
+(SURVEY §2.4; ref run_slot_finetuning.py:37-247 and siblings). "Switching
+frameworks" means every published command line keeps parsing, so this test
+extracts EVERY ``add_argument`` call from each reference script via ``ast``
+(no reference import — the scripts pull decord/deepspeed at module scope)
+and
+
+1. asserts each reference option string exists in the matching repo CLI
+   (ast-level set containment, with a precise diff on failure), and
+2. actually drives the repo parser with a command line that passes every
+   reference flag at once (choices honored, defaults replayed), proving
+   runtime acceptance — types, nargs, choices — not just name overlap.
+
+The reverse direction is intentionally unchecked: repo-only flags are
+documented devias_tpu extensions (cli/common.py).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+import pytest
+
+REFERENCE = "/root/reference"
+
+# reference script -> repo CLI module (same public surface)
+PAIRS = [
+    ("run_slot_finetuning.py", "devias_tpu.cli.run_slot_finetuning"),
+    ("run_class_finetuning.py", "devias_tpu.cli.run_class_finetuning"),
+    ("run_multi_task_finetuning.py", "devias_tpu.cli.run_multi_task_finetuning"),
+    ("run_slot_finetuning_hvu.py", "devias_tpu.cli.run_slot_finetuning_hvu"),
+    ("eval_slot_finetuning_hvu.py", "devias_tpu.cli.eval_slot_finetuning_hvu"),
+    ("run_slot_downstream.py", "devias_tpu.cli.run_slot_downstream"),
+]
+
+
+def _literal(node):
+    try:
+        return ast.literal_eval(node)
+    except Exception:
+        return None
+
+
+def ref_flags(script: str):
+    """[(option, spec)] for every parser.add_argument in the script."""
+    with open(os.path.join(REFERENCE, script)) as f:
+        tree = ast.parse(f.read())
+    out = []
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "add_argument"
+        ):
+            continue
+        opts = [
+            a.value
+            for a in node.args
+            if isinstance(a, ast.Constant)
+            and isinstance(a.value, str)
+            and a.value.startswith("--")
+        ]
+        if not opts:
+            continue
+        spec = {}
+        for kw in node.keywords:
+            if kw.arg == "type" and isinstance(kw.value, ast.Name):
+                spec["type"] = kw.value.id
+            elif kw.arg in ("action", "default", "choices", "nargs", "dest"):
+                spec[kw.arg] = _literal(kw.value)
+        out.append((opts[0], spec))
+    return out
+
+
+def _value_tokens(opt: str, spec: dict):
+    """Command-line tokens exercising this reference flag."""
+    action = spec.get("action")
+    if action in ("store_true", "store_false"):
+        return [opt]
+    choices = spec.get("choices")
+    if choices:
+        return [opt, str(choices[0])]
+    default = spec.get("default")
+    if isinstance(default, list) and default:
+        return [opt] + [str(v) for v in default]
+    if default is not None and not isinstance(default, list):
+        return [opt, str(default)]
+    ty = spec.get("type")
+    return [opt, {"int": "1", "float": "0.5"}.get(ty, "x")]
+
+
+def our_option_strings(module: str):
+    import importlib
+
+    mod = importlib.import_module(module)
+    # build the parser without parsing: every repo CLI follows the
+    # get_args(argv) -> parser.parse_args(argv) shape, so an empty argv
+    # yields the defaults and, more importantly, constructs the parser —
+    # we recover its option table via a parse probe instead of private
+    # attrs by asking argparse to parse each flag (done in the runtime
+    # test below). Here we ast-scan our own source for the diff message.
+    import inspect
+
+    srcs = [inspect.getsource(mod)]
+    from devias_tpu.cli import common
+
+    srcs.append(inspect.getsource(common))
+    opts = set()
+    for src in srcs:
+        for node in ast.walk(ast.parse(src)):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "add_argument"
+            ):
+                for a in node.args:
+                    if (
+                        isinstance(a, ast.Constant)
+                        and isinstance(a.value, str)
+                        and a.value.startswith("--")
+                    ):
+                        opts.add(a.value)
+    return opts
+
+
+@pytest.mark.parametrize("script,module", PAIRS)
+def test_every_reference_flag_exists(script, module):
+    missing = []
+    ours = our_option_strings(module)
+    for opt, spec in ref_flags(script):
+        # alternate option strings of the same action count too
+        if opt not in ours:
+            missing.append(opt)
+    assert not missing, (
+        f"{module} is missing reference flags from {script}: {missing}"
+    )
+
+
+@pytest.mark.parametrize("script,module", PAIRS)
+def test_reference_command_line_parses(script, module):
+    """One command line carrying EVERY reference flag parses at runtime."""
+    import importlib
+
+    mod = importlib.import_module(module)
+    argv = []
+    seen = set()
+    for opt, spec in ref_flags(script):
+        dest = spec.get("dest") or opt
+        if dest in seen:
+            continue  # --no_x / --x pairs share a dest; pass one side only
+        seen.add(dest)
+        argv += _value_tokens(opt, spec)
+    args = mod.get_args(argv)
+    assert args is not None
