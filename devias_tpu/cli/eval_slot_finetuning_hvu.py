@@ -22,8 +22,13 @@ from devias_tpu.eval.merge import accuracy_topk
 
 def get_args(argv=None):
     parser = argparse.ArgumentParser(
-        "HVU seen/unseen evaluation (TPU)", parents=[build_shared_parser("hvu-eval")]
+        "HVU seen/unseen evaluation (TPU)", parents=[build_shared_parser("hvu-eval")],
+        conflict_handler="resolve",
     )
+    # the reference passes the SEEN and UNSEEN filelists as two tokens
+    # (--anno_path SEEN UNSEEN, nargs='+', ref eval_slot_finetuning_hvu.py:
+    # 40-41, docs/EVAL.md:82) — override the shared single-string flag
+    parser.add_argument("--anno_path", default=[], nargs="+", type=str)
     parser.add_argument("--agg_weights_tie", default=False, action="store_true")
     parser.add_argument("--agg_depth", default=8, type=int)
     parser.add_argument("--num_latents", type=int, default=2)
@@ -70,6 +75,10 @@ def validation_block(loader, forward_fn, batch_size, num_action, which: str):
 
 def main(args=None):
     args = args or get_args()
+    # normalize the SEEN/UNSEEN pair to the factory's space-joined form
+    # (a single quoted "SEEN UNSEEN" token keeps working)
+    if isinstance(args.anno_path, (list, tuple)):
+        args.anno_path = " ".join(args.anno_path)
     from devias_tpu.core.dist import maybe_init_distributed
 
     maybe_init_distributed()  # multi-host (ref utils/utils.py:249-282)

@@ -99,12 +99,21 @@ def test_eval_slot_finetuning_hvu(filelists):
 
     seen = os.path.join(filelists["hvu"], "train.csv")
     unseen = os.path.join(filelists["hvu"], "val.csv")
+    # two tokens — the reference's exact command shape
+    # (--anno_path SEEN UNSEEN, ref docs/EVAL.md:82)
     args = get_args(BASE + [
-        "--anno_path", f"{seen} {unseen}",
+        "--anno_path", seen, unseen,
         "--num_latents", "2", "--agg_depth", "2",
     ])
     results = main(args)
     assert set(results) == {"action_seen", "action_unseen", "scene_seen", "scene_unseen"}
+    # a single quoted "SEEN UNSEEN" token keeps working
+    args2 = get_args(BASE + [
+        "--anno_path", f"{seen} {unseen}",
+        "--num_latents", "2", "--agg_depth", "2",
+    ])
+    results2 = main(args2)
+    assert results2 == results
 
 
 def test_run_slot_downstream(filelists, tmp_path):
