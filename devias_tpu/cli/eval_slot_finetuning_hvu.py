@@ -30,20 +30,20 @@ def get_args(argv=None):
     # 40-41, docs/EVAL.md:82) — override the shared single-string flag
     parser.add_argument("--anno_path", default=[], nargs="+", type=str)
     parser.add_argument("--agg_weights_tie", default=False, action="store_true")
-    parser.add_argument("--agg_depth", default=8, type=int)
-    parser.add_argument("--num_latents", type=int, default=2)
+    parser.add_argument("--agg_depth", default=4, type=int)
+    parser.add_argument("--num_latents", type=int, default=4)
     parser.add_argument("--head_type", type=str, default="linear")
     parser.add_argument("--slot_matching_method", type=str, default="matching")
     # accepted for command compatibility: the reference eval script inherits
     # these training flags in its parser (eval_slot_finetuning_hvu.py:
     # 44-62,170) but never reads them at eval time.
     parser.add_argument("--nb_knn", default=[10, 20], nargs="+", type=int)
-    parser.add_argument("--agg_block_scale", type=float, default=0.1)
-    parser.add_argument("--mask_model", default="FAME", choices=["FAME", ""], type=str)
+    parser.add_argument("--agg_block_scale", type=float, default=0.8)
+    parser.add_argument("--mask_model", default="", choices=["FAME", ""], type=str)
     parser.add_argument("--beta", type=float, default=0.5)
-    parser.add_argument("--prob_aug", type=float, default=0.25)
+    parser.add_argument("--prob_aug", type=float, default=0.5)
     parser.add_argument("--mask_distill_loss_weight", type=float, default=1.0)
-    parser.add_argument("--mask_prediction_loss_weight", type=float, default=1.0)
+    parser.add_argument("--mask_prediction_loss_weight", type=float, default=3.0)
     parser.add_argument("--eval_data_path", default=None, type=str)
     parser.set_defaults(model="slot_vit_base_patch16_224", data_set="HVU-EVAL")
     return parser.parse_args(argv)

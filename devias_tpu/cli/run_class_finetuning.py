@@ -50,7 +50,7 @@ def get_args(argv=None):
     parser.add_argument("--scene_labels_from", default="", type=str,
                         help="scene-teacher ckpt: train against its argmax "
                              "pseudo labels (engine_for_finetuning_scene)")
-    parser.set_defaults(model="vit_base_patch16_224")
+    parser.set_defaults(model="vit_base_patch16_224", num_workers=8)
     return parser.parse_args(argv)
 
 

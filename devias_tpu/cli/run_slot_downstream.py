@@ -39,19 +39,20 @@ def get_args(argv=None):
         "Slot-fusion downstream transfer (TPU)", parents=[build_shared_parser("downstream")]
     )
     parser.add_argument("--slot_fusion_method", default="concat", choices=["gap", "concat"])
-    parser.add_argument("--downstream_nb_classes", default=48, type=int)
+    parser.add_argument("--downstream_nb_classes", default=400, type=int)
     parser.add_argument("--use_input_ln", action="store_true", default=False)
     parser.add_argument("--agg_weights_tie", default=False, action="store_true")
     parser.add_argument("--agg_depth", default=8, type=int)
-    parser.add_argument("--num_latents", type=int, default=2)
-    parser.add_argument("--head_type", type=str, default="mlp")
-    parser.add_argument("--agg_block_scale", type=float, default=1.0)
+    parser.add_argument("--num_latents", type=int, default=4)
+    parser.add_argument("--head_type", type=str, default="linear")
+    parser.add_argument("--agg_block_scale", type=float, default=0.8)
     # accepted for command compatibility: the reference downstream parser
     # defines the mean-pooling toggles (run_slot_downstream.py:149-151) but
     # the slot-fusion model never reads use_mean_pooling.
     parser.add_argument("--use_mean_pooling", action="store_true")
     parser.add_argument("--use_cls", action="store_false", dest="use_mean_pooling")
-    parser.set_defaults(model="slot_fusion_vit_base_patch16_224", use_mean_pooling=True)
+    parser.set_defaults(model="slot_fusion_vit_base_patch16_224", use_mean_pooling=True,
+                        num_workers=8)
     return parser.parse_args(argv)
 
 

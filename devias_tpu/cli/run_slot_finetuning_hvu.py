@@ -37,15 +37,19 @@ def get_args(argv=None):
         "HVU slot training (TPU)", parents=[build_shared_parser("hvu")]
     )
     parser.add_argument("--agg_weights_tie", default=False, action="store_true")
-    parser.add_argument("--agg_depth", default=8, type=int)
-    parser.add_argument("--mask_model", default="FAME", choices=["FAME", ""], type=str)
+    parser.add_argument("--agg_depth", default=4, type=int)
+    # defaults mirror the reference parser exactly (run_slot_finetuning_hvu
+    # .py:43-73); note its mask_model default is '' — the reference's own
+    # no-FAME HVU branch crashes on undefined locals (engine_for_slot_hvu
+    # .py:66-77), ours trains without the mask losses
+    parser.add_argument("--mask_model", default="", choices=["FAME", ""], type=str)
     parser.add_argument("--beta", type=float, default=0.5)
-    parser.add_argument("--prob_aug", type=float, default=0.25)
+    parser.add_argument("--prob_aug", type=float, default=0.5)
     parser.add_argument("--mask_distill_loss_weight", type=float, default=1.0)
-    parser.add_argument("--mask_prediction_loss_weight", type=float, default=1.0)
+    parser.add_argument("--mask_prediction_loss_weight", type=float, default=3.0)
     parser.add_argument("--scene_criterion", default="KL", choices=["KL", "CE"], type=str)
-    parser.add_argument("--num_latents", type=int, default=2)
-    parser.add_argument("--agg_block_scale", type=float, default=0.1)
+    parser.add_argument("--num_latents", type=int, default=4)
+    parser.add_argument("--agg_block_scale", type=float, default=0.8)
     parser.add_argument("--head_type", type=str, default="linear")
     parser.add_argument("--slot_matching_method", type=str, default="matching")
     # accepted for command compatibility: defined by the reference parser

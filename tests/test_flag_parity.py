@@ -155,3 +155,40 @@ def test_reference_command_line_parses(script, module):
         argv += _value_tokens(opt, spec)
     args = mod.get_args(argv)
     assert args is not None
+
+
+# Flags whose defaults intentionally differ from the reference parser:
+#   --device: 'tpu' here, 'cuda' there (the point of the rebuild)
+#   --data_path/--data_prefix: the reference defaults are '/path/to/...'
+#     placeholders; ours are runnable relative paths
+#   --model: the reference defaults every script to 'vit_base_patch16_224',
+#     which its own multi-task/downstream/slot mains cannot build (wrong
+#     kwargs); ours defaults to each script's actual model
+DEFAULT_ALLOWLIST = {"--device", "--data_path", "--data_prefix", "--model"}
+
+
+@pytest.mark.parametrize("script,module", PAIRS)
+def test_reference_flag_defaults_match(script, module):
+    """Unspecified-flag behavior must match: parse an EMPTY command line
+    through our parser and compare every dest's value with the reference
+    parser's literal default."""
+    import importlib
+
+    mod = importlib.import_module(module)
+    ours = mod.get_args([])
+    mismatches = []
+    for opt, spec in ref_flags(script):
+        if opt in DEFAULT_ALLOWLIST or "default" not in spec:
+            continue
+        dest = (spec.get("dest") or opt.lstrip("-")).replace("-", "_")
+        if not hasattr(ours, dest):
+            continue  # existence is the other test's job
+        ref_default = spec["default"]
+        our_default = getattr(ours, dest)
+        if isinstance(our_default, tuple):
+            our_default = list(our_default)
+        if our_default != ref_default:
+            mismatches.append((opt, ref_default, our_default))
+    assert not mismatches, (
+        f"{module}: defaults diverge from {script}: {mismatches}"
+    )
