@@ -9,6 +9,12 @@ scales. This is NOT the parity path: quantization perturbs logits (bounded,
 see tests/test_quant.py), so it is opt-in via `--teacher_int8` /
 `int8_dense=True` and never used by the golden/parity tests.
 
+Measured in-step (docs/PERF.md round-3 rejected experiments): at ViT-B
+1568-token geometry the int8 teacher is throughput-NEUTRAL inside the
+training step — the per-step dynamic-quant passes and the broken
+mega-fusions cancel the 2x MXU rate. Its remaining use case is frozen
+serving with weights quantized once ahead of time.
+
 Design notes (TPU-first):
   * weights are quantized from the live f32 params inside the jitted step
     (cheap: one elementwise pass over ~85 MB of weights, ~0.2 ms) — the
