@@ -34,8 +34,10 @@ vjp = jax.grad(lambda x: (chain(x).astype(jnp.float32)[..., : H * D]
 
 
 def timeit(f, x, iters=8):
-    # iterations must form a DEPENDENT chain: the relay executes lazily, so
-    # independent dispatches would collapse to the one fetched result.
+    # iterations must form a DEPENDENT chain: over the axon relay an
+    # independent loop is dominated by the per-call dispatch RPC (~14-56 ms
+    # depending on graph size) and times the relay, not the device; chained
+    # iterations overlap dispatch with compute and recover device time.
     step = jax.jit(lambda x: 0.999 * f(x))
     np.asarray(jax.device_get(step(x).reshape(-1)[0]))
     t0 = time.perf_counter()
