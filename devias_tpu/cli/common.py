@@ -342,6 +342,8 @@ def make_optim_config(args, total_steps: int, steps_per_epoch: int,
         total_steps=total_steps,
         warmup_steps=warmup,
         clip_grad=args.clip_grad,
+        opt=args.opt,
+        momentum=args.momentum,
     )
 
 

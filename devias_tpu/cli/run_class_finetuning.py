@@ -161,6 +161,8 @@ def main(args=None):
             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
             prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
             label_smoothing=args.smoothing, num_classes=args.nb_classes,
+            mode=args.mixup_mode,
+            cutmix_minmax=tuple(args.cutmix_minmax) if args.cutmix_minmax else None,
         )
         criterion = soft_target_cross_entropy
     elif args.smoothing > 0:

@@ -50,6 +50,8 @@ class OptimConfig:
     total_steps: int = 1000
     warmup_steps: int = 0
     clip_grad: Optional[float] = None
+    opt: str = "adamw"  # adamw | adam | sgd | nesterov | momentum
+    momentum: float = 0.9  # SGD family only
 
 
 def _path_names(path) -> Tuple[str, ...]:
@@ -238,6 +240,37 @@ def make_optimizer(params, cfg: OptimConfig):
 
     lr_scales = build_lr_scale_tree(params, cfg)
     wd_mask = build_wd_mask_tree(params)
+
+    opt = cfg.opt.lower()
+    if opt not in ("adamw", "adam", "sgd", "nesterov", "momentum"):
+        # the reference's optim_factory dispatches on --opt
+        # (ref utils/optim_factory.py:96-181); rather than silently running
+        # AdamW for an unsupported value, fail loudly
+        raise ValueError(
+            f"--opt {cfg.opt!r} is not supported (supported: adamw, adam, "
+            "sgd, nesterov, momentum; the published DEVIAS recipes all use "
+            "adamw)"
+        )
+
+    clip = [] if cfg.clip_grad is None else [optax.clip_by_global_norm(cfg.clip_grad)]
+    if opt in ("sgd", "nesterov", "momentum"):
+        # torch.optim.SGD semantics (ref optim_factory.py:124-130): weight
+        # decay is L2 folded into the grad BEFORE the momentum buffer;
+        # 'sgd'/'nesterov' -> nesterov=True, 'momentum' -> plain heavy ball
+        parts = clip + [
+            _add_scheduled_weight_decay(wd_fn, wd_mask),
+            optax.trace(decay=cfg.momentum, nesterov=(opt != "momentum")),
+            _scale_by_scheduled_lr(lr_fn, lr_scales),
+        ]
+        return optax.chain(*parts), lr_fn
+    if opt == "adam":
+        # torch.optim.Adam: L2 weight decay into the grad before moments
+        parts = clip + [
+            _add_scheduled_weight_decay(wd_fn, wd_mask),
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
+            _scale_by_scheduled_lr(lr_fn, lr_scales),
+        ]
+        return optax.chain(*parts), lr_fn
 
     if cfg.clip_grad is None:
         return _make_fused_adamw(cfg, lr_fn, wd_fn, lr_scales, wd_mask), lr_fn

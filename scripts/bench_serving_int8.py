@@ -12,6 +12,7 @@ chain; independent dispatches over the axon relay time the RPC, not the
 device.
 """
 
+import json
 import os
 import sys
 import time
@@ -29,7 +30,7 @@ import numpy as np
 from devias_tpu.nn import create_model
 
 BATCH = 12
-N_STEPS = 10
+N_STEPS = 40
 
 
 def measure(int8: bool) -> float:
@@ -51,10 +52,14 @@ def measure(int8: bool) -> float:
     rng = np.random.default_rng(0)
     v = jnp.asarray(rng.normal(size=(BATCH, 16, 224, 224, 3)).astype(np.float32))
     # dependent chain: feed a scalar derived from the previous output back
-    # into the input so dispatch overlaps compute (see docs/PERF.md).
+    # into the input so dispatch overlaps compute (see docs/PERF.md). The
+    # coupling goes through optimization_barrier so no XLA simplification
+    # (e.g. folding the former `carry * 0.0` trick) can sever it and turn
+    # this into timing the relay RPC.
     @jax.jit
     def chained(p, v, carry):
-        a, s = eval_fwd(p, v + carry * 0.0)
+        v, carry = jax.lax.optimization_barrier((v, carry))
+        a, s = eval_fwd(p, v)
         return a, s, jnp.mean(a).astype(jnp.float32)
 
     carry = jnp.float32(0)
@@ -75,5 +80,18 @@ if __name__ == "__main__":
     # interleave a second pair to bound session noise
     bf16b = measure(False)
     i8b = measure(True)
-    print(f"eval fwd bf16: {bf16:.1f} / {bf16b:.1f} clips/s")
-    print(f"eval fwd int8: {i8:.1f} / {i8b:.1f} clips/s")
+    print(
+        json.dumps(
+            {
+                "metric": "devias_serving_int8_ab",
+                "unit": "clips/sec/chip",
+                "batch": BATCH,
+                "steps_per_window": N_STEPS,
+                "bf16_clips_per_sec": [round(bf16, 1), round(bf16b, 1)],
+                "int8_clips_per_sec": [round(i8, 1), round(i8b, 1)],
+                "bf16_mean": round((bf16 + bf16b) / 2, 1),
+                "int8_mean": round((i8 + i8b) / 2, 1),
+                "speedup": round((i8 + i8b) / (bf16 + bf16b), 4),
+            }
+        )
+    )

@@ -192,3 +192,21 @@ def test_reference_flag_defaults_match(script, module):
     assert not mismatches, (
         f"{module}: defaults diverge from {script}: {mismatches}"
     )
+
+
+def test_unsupported_flag_values_raise_not_remap():
+    """VERDICT r3 item 7: values the implementation doesn't cover must fail
+    loudly instead of silently running something else."""
+    import pytest
+
+    from devias_tpu.aug.mixup import MixupConfig
+    from devias_tpu.train import OptimConfig, make_optimizer
+
+    with pytest.raises(ValueError, match="mixup_mode"):
+        MixupConfig(mode="half")  # reference silently falls back to batch
+
+    import jax.numpy as jnp
+
+    params = {"w": jnp.zeros((2, 2))}
+    with pytest.raises(ValueError, match="not supported"):
+        make_optimizer(params, OptimConfig(opt="adafactor", total_steps=10))

@@ -121,3 +121,70 @@ def test_fast_layernorm_matches_flax():
                 rtol=5e-2 if dtype == jnp.bfloat16 else 1e-5,
                 atol=5e-2 if dtype == jnp.bfloat16 else 1e-5,
             )
+
+
+def test_unsupported_opt_raises():
+    import pytest
+
+    params = _toy_params(np.random.default_rng(0))
+    with pytest.raises(ValueError, match="not supported"):
+        make_optimizer(params, OptimConfig(opt="lamb", total_steps=10))
+
+
+def test_sgd_family_matches_torch():
+    """--opt sgd/nesterov/momentum/adam run the torch.optim math
+    (ref utils/optim_factory.py:124-134): L2 wd into the grad, momentum
+    buffer, nesterov lookahead. 3 steps vs torch on the same toy tree,
+    constant lr (no warmup), constant wd, layer_decay handled via the
+    per-group lr scale."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    base = _toy_params(rng)
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape).astype(np.float32)), base
+    )
+
+    for opt_name, t_kwargs in [
+        ("sgd", dict(momentum=0.9, nesterov=True)),
+        ("momentum", dict(momentum=0.9, nesterov=False)),
+        ("adam", dict()),
+    ]:
+        cfg = OptimConfig(
+            lr=1e-2, weight_decay=0.05, layer_decay=0.75, agg_block_scale=0.1,
+            total_steps=100, warmup_steps=0, min_lr=1e-2,  # constant lr
+            weight_decay_end=0.05, opt=opt_name, momentum=0.9,
+        )
+        tx, lr_fn = make_optimizer(base, cfg)
+        scales = build_lr_scale_tree(base, cfg)
+        wd_mask = build_wd_mask_tree(base)
+
+        # torch side: one param group per leaf with its scaled lr / wd mask
+        leaves, treedef = jax.tree.flatten(base)
+        g_leaves = jax.tree.leaves(grads)
+        s_leaves = jax.tree.leaves(scales)
+        m_leaves = jax.tree.leaves(wd_mask)
+        t_params = [torch.nn.Parameter(torch.from_numpy(np.asarray(p)).clone()) for p in leaves]
+        groups = [
+            {"params": [tp], "lr": 1e-2 * float(s), "weight_decay": 0.05 if m else 0.0}
+            for tp, s, m in zip(t_params, s_leaves, m_leaves)
+        ]
+        if opt_name == "adam":
+            topt = torch.optim.Adam(groups, eps=cfg.eps, betas=(cfg.beta1, cfg.beta2))
+        else:
+            topt = torch.optim.SGD(groups, **t_kwargs)
+
+        p, s = base, tx.init(base)
+        for _ in range(3):
+            u, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, u)
+            for tp, g in zip(t_params, g_leaves):
+                tp.grad = torch.from_numpy(np.asarray(g)).clone()
+            topt.step()
+
+        for ours, theirs in zip(jax.tree.leaves(p), t_params):
+            np.testing.assert_allclose(
+                np.asarray(ours), theirs.detach().numpy(), rtol=2e-5, atol=2e-6,
+                err_msg=opt_name,
+            )

@@ -82,3 +82,92 @@ def test_mixup_batch_mode_matches_reference(monkeypatch, use_cutmix, lam):
 
     np.testing.assert_allclose(np.asarray(out_x), ref_x, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_y), ref_y, rtol=1e-5, atol=1e-6)
+
+
+def _pin_ref_elem(monkeypatch, refmix, switch_u, lam_c, lam_m, prob_u, cy, cx,
+                  use_cutmix, lam):
+    """Pin the reference's np.random for _params_per_elem + per-element
+    rand_bbox (drawn in loop order, only for mixing cutmix elements)."""
+    n = len(switch_u)
+    rand_seq = iter([np.asarray(switch_u), np.asarray(prob_u)])
+    monkeypatch.setattr(refmix.np.random, "rand", lambda *a: next(rand_seq))
+    beta_seq = {"c": np.asarray(lam_c), "m": np.asarray(lam_m)}
+    monkeypatch.setattr(
+        refmix.np.random, "beta",
+        lambda a, b, size=None: beta_seq["c"] if a == CUTMIX_A else beta_seq["m"],
+    )
+    ints = []
+    for i in range(n):
+        if lam[i] != 1.0 and use_cutmix[i]:
+            ints += [np.array(cy[i]), np.array(cx[i])]
+    ri_seq = iter(ints)
+    monkeypatch.setattr(
+        refmix.np.random, "randint", lambda lo, hi, size=None: next(ri_seq)
+    )
+
+
+MIXUP_A, CUTMIX_A = 0.8, 1.0
+
+
+@pytest.mark.parametrize("mode", ["elem", "pair"])
+def test_mixup_elem_pair_mode_matches_reference(monkeypatch, mode):
+    load_reference()
+    import utils.transform.mixup as refmix
+
+    B_ = B  # 4
+    n = B_ if mode == "elem" else B_ // 2
+    rng = np.random.default_rng(3)
+    videos = rng.normal(size=(B_, T, H, W, 3)).astype(np.float32)
+    labels = (np.arange(B_) % K).astype(np.int64)
+
+    # pinned decisions: element 0 cutmix, element 1 mixup, element 2 (elem
+    # only) not mixing, element 3 (elem only) cutmix again
+    switch_u = np.array([0.1, 0.9, 0.2, 0.3][:n])         # < 0.5 -> cutmix
+    prob_u = np.array([0.0, 0.0, 0.99, 0.0][:n])          # < prob(0.9) -> mix
+    lam_c = np.array([0.62, 0.5, 0.44, 0.71][:n])
+    lam_m = np.array([0.9, 0.37, 0.55, 0.2][:n])
+    cy = np.array([20, 5, 11, 25][:n])
+    cx = np.array([9, 30, 3, 14][:n])
+    use_cutmix = switch_u < 0.5
+    lam = np.where(prob_u < 0.9, np.where(use_cutmix, lam_c, lam_m), 1.0)
+
+    cfg = MixupConfig(
+        mixup_alpha=MIXUP_A, cutmix_alpha=CUTMIX_A, prob=0.9, switch_prob=0.5,
+        label_smoothing=0.1, num_classes=K, mode=mode,
+    )
+
+    _pin_ref_elem(monkeypatch, refmix, switch_u, lam_c, lam_m, prob_u, cy, cx,
+                  use_cutmix, lam)
+    m = refmix.Mixup(
+        mixup_alpha=MIXUP_A, cutmix_alpha=CUTMIX_A, prob=0.9, switch_prob=0.5,
+        mode=mode, label_smoothing=0.1, num_classes=K,
+    )
+    x = torch.from_numpy(videos).permute(0, 4, 1, 2, 3).clone()
+    y = torch.from_numpy(labels)
+    xm, ym = m(x, y)
+    ref_x, ref_y = xm.permute(0, 2, 3, 4, 1).numpy(), ym.numpy()
+
+    # pin ours: uniform call order = (switch, prob); beta = (cutmix, mixup);
+    # randint = (cy, cx)
+    import devias_tpu.aug.mixup as ours
+
+    u_seq = iter([jnp.asarray(switch_u, jnp.float32), jnp.asarray(prob_u, jnp.float32)])
+    monkeypatch.setattr(
+        ours.jax.random, "uniform", lambda k, shape=(), **kw: next(u_seq)
+    )
+    monkeypatch.setattr(
+        ours.jax.random, "beta",
+        lambda k, a, b, shape=(), **kw: jnp.asarray(
+            lam_c if a == CUTMIX_A else lam_m, jnp.float32
+        ),
+    )
+    ri_seq = iter([jnp.asarray(cy, jnp.int32), jnp.asarray(cx, jnp.int32)])
+    monkeypatch.setattr(
+        ours.jax.random, "randint", lambda k, shape, lo, hi: next(ri_seq)
+    )
+
+    out_x, out_y = mixup_cutmix(
+        jax.random.PRNGKey(0), jnp.asarray(videos), jnp.asarray(labels), cfg
+    )
+    np.testing.assert_allclose(np.asarray(out_x), ref_x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_y), ref_y, rtol=1e-5, atol=1e-6)
