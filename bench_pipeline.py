@@ -1,5 +1,6 @@
 """End-to-end input-pipeline benchmark: decode -> host augment -> transfer
--> train step, on real encoded mp4s (VERDICT r1 item 8).
+-> train step, on real encoded mp4s (VERDICT r1 item 8; per-stage
+instrumentation + steady-state window VERDICT r3 item 1).
 
 Measures three rates and prints ONE JSON line:
 
@@ -8,7 +9,22 @@ Measures three rates and prints ONE JSON line:
   device_clips_per_sec  — the jitted train step on a preloaded batch
                           (same figure bench.py reports)
   e2e_clips_per_sec     — loader + device_prefetch + train step overlapped,
-                          i.e. what a real training run sustains
+                          i.e. what a real training run sustains, measured
+                          over a trimmed steady-state window (the first
+                          batches drain pre-filled prefetch queues and
+                          would inflate the rate)
+
+plus per-stage figures from inside the overlapped run so the artifact
+itself says which stage bound it:
+
+  stage_host_wait_s     — transfer thread blocked waiting for the loader
+  stage_issue_s/force_s — device_put dispatch / forced-completion wait
+  stage_transfer_MBps   — wire rate of the forced uploads
+  stage_consumer_wait_s — consumer blocked waiting for a resident batch
+  stage_dispatch_s      — train-step dispatch (async; ~0 when healthy)
+  bound_clips_per_sec   — min(host, transfer, device) standalone rates:
+                          what a perfectly overlapped pipeline would reach
+  e2e_vs_bound          — e2e / bound
 
 The reference pipeline is decord + PIL/torchvision on many dataloader
 workers (ref dataset/kinetics.py, engine_for_slot.py:98-99 non_blocking
@@ -61,6 +77,10 @@ def main():
     ap.add_argument(
         "--device_normalize", action=argparse.BooleanOptionalAction, default=True
     )
+    ap.add_argument("--inflight", type=int, default=2,
+                    help="uploads kept in flight by the prefetcher")
+    ap.add_argument("--debug_stages", action="store_true",
+                    help="dump raw per-batch stage timings to stderr")
     ap.add_argument(
         "--wire", choices=["rgb", "yuv420"], default="yuv420",
         help="train-clip wire format: yuv420 ships I420 planes (half the "
@@ -187,25 +207,80 @@ def main():
         jax.device_get(metrics["loss"])
         dev_rate = n_clips / (time.perf_counter() - t0)
 
-        # --- end-to-end: loader -> prefetch -> step ---
-        it = device_prefetch(fresh_loader(), size=2)
+        # --- end-to-end: loader -> prefetch -> step, instrumented ---
+        from devias_tpu.data.loader import make_default_transfer
+
+        stats = {k: [] for k in
+                 ("host_wait", "issue", "force", "bytes", "consumer_wait",
+                  "dispatch")}
+        issue0, force0 = make_default_transfer(None)
+
+        def timed_issue(b):
+            stats["bytes"].append(
+                sum(v.nbytes for v in b.values() if hasattr(v, "nbytes"))
+            )
+            t0 = time.perf_counter()
+            out = issue0(b)
+            stats["issue"].append(time.perf_counter() - t0)
+            return out
+
+        def timed_force(out):
+            t0 = time.perf_counter()
+            out = force0(out)
+            stats["force"].append(time.perf_counter() - t0)
+            return out
+
+        def timed_host(it):
+            # wait seen by the transfer thread pulling from the loader
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    b = next(it)
+                except StopIteration:
+                    return
+                stats["host_wait"].append(time.perf_counter() - t0)
+                yield b
+
+        it = device_prefetch(
+            timed_host(fresh_loader()), size=2,
+            transfer=(timed_issue, timed_force), inflight=args.inflight,
+        )
         first = next(it)  # exclude first-decode warmup from the timed window
         state, metrics = step(state, tparams, first, jax.random.PRNGKey(0))
-        # the timed window must dominate the pipeline's internal buffering
-        # (loader prefetch + two prefetch-stage queues ~ 6 batches) or the
-        # drain of pre-filled queues inflates the rate past the host rate
-        n_target = max(n_clips, 10 * B)
-        t0 = time.perf_counter()
-        n_e2e = 0
-        for batch in it:
+        # steady-state window: run n_trim + n_meas batches, drop the first
+        # n_trim (they drain pre-filled prefetch queues — loader prefetch +
+        # pending uploads + consumer queue ~ 6-8 batches — and would
+        # inflate the rate past the host rate)
+        n_trim = 4
+        n_meas = max(args.batches, 8)
+        ts = []
+        for i in range(n_trim + n_meas):
+            t0 = time.perf_counter()
+            batch = next(it)
+            wait = time.perf_counter() - t0
+            t0 = time.perf_counter()
             state, metrics = step(state, tparams, batch, jax.random.PRNGKey(0))
-            n_e2e += B
-            if n_e2e >= n_target:
-                break
-        jax.device_get(metrics["loss"])
-        e2e_rate = n_e2e / (time.perf_counter() - t0)
+            disp = time.perf_counter() - t0
+            if i >= n_trim:
+                stats["consumer_wait"].append(wait)
+                stats["dispatch"].append(disp)
+            ts.append(time.perf_counter())
+        jax.device_get(metrics["loss"])  # drain the last dispatched step
+        e2e_rate = n_meas * B / (time.perf_counter() - ts[n_trim - 1])
         it.close()  # join the transfer thread before interpreter teardown
 
+    if args.debug_stages:
+        import sys
+
+        for k, v in stats.items():
+            print(f"# {k}: {[round(float(x), 3) for x in v]}", file=sys.stderr)
+        iv = [round(float(b - a), 3) for a, b in zip(ts, ts[1:])]
+        print(f"# batch intervals: {iv}", file=sys.stderr)
+
+    med = lambda v: round(float(np.median(v)), 4) if v else None
+    xfer_s = [a + b for a, b in zip(stats["issue"], stats["force"])]
+    xfer_rate = B / np.median(xfer_s) if xfer_s else float("inf")
+    bound = min(host_rate, dev_rate, xfer_rate)
     print(
         json.dumps(
             {
@@ -214,7 +289,22 @@ def main():
                 "unit": "clips/sec/chip",
                 "host_clips_per_sec": round(host_rate, 2),
                 "device_clips_per_sec": round(dev_rate, 2),
+                "transfer_clips_per_sec": round(xfer_rate, 2),
                 "e2e_clips_per_sec": round(e2e_rate, 2),
+                "bound_clips_per_sec": round(bound, 2),
+                "e2e_vs_bound": round(e2e_rate / bound, 3),
+                "stage_host_wait_s": med(stats["host_wait"]),
+                "stage_issue_s": med(stats["issue"]),
+                "stage_force_s": med(stats["force"]),
+                "stage_transfer_MBps": round(
+                    float(np.median(stats["bytes"]) / 1e6 / np.median(xfer_s)), 1
+                ) if xfer_s else None,
+                "stage_consumer_wait_s": med(stats["consumer_wait"]),
+                "stage_dispatch_s": med(stats["dispatch"]),
+                "batch_bytes_mb": round(float(np.median(stats["bytes"])) / 1e6, 2)
+                if stats["bytes"] else None,
+                "measured_batches": n_meas,
+                "inflight": args.inflight,
                 "num_workers": args.num_workers,
                 "host_cores": os.cpu_count(),
                 "wire": args.wire,

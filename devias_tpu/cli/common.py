@@ -131,6 +131,16 @@ def build_shared_parser(description: str) -> argparse.ArgumentParser:
                         "moments over the data axis (ZeRO-3/FSDP equivalent; "
                         "implies --zero1 — XLA all-gathers each weight at its "
                         "first use and keeps only the shard resident)")
+    p.add_argument("--pp_stages", default=1, type=int,
+                   help="devias_tpu extension: pipeline-parallel stages — "
+                        "the ViT block stack splits over a (data, pipe) "
+                        "mesh with a GPipe microbatch schedule "
+                        "(core/pipeline.py); agg/heads/loss run on the "
+                        "full token tensor. Requires depth %% stages == 0")
+    p.add_argument("--pp_microbatches", default=4, type=int,
+                   help="devias_tpu extension: GPipe microbatches per "
+                        "micro-step under --pp_stages (>= 4x stages keeps "
+                        "the pipeline bubble under ~20%%)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="devias_tpu extension: capture a jax.profiler trace "
                         "of a few steps of the first epoch into this dir")

@@ -158,7 +158,13 @@ def main(args=None):
     maybe_init_distributed()  # multi-host; MUST precede any backend use
     # rank-offset seeding (ref run_slot_finetuning.py:261-265)
     np.random.seed(args.seed + jax.process_index())
-    mesh = make_mesh()
+    if getattr(args, "pp_stages", 1) > 1:
+        # (data, pipe) mesh: backbone pipeline-parallel, batch over data
+        from devias_tpu.core.pipeline import make_pp_mesh
+
+        mesh = make_pp_mesh(args.pp_stages)
+    else:
+        mesh = make_mesh()
     rank, world = jax.process_index(), jax.process_count()
 
     model, teacher = build_models(args)
@@ -266,11 +272,13 @@ def main(args=None):
         fame=FAMEConfig(beta=args.beta, prob_aug=args.prob_aug),
         num_data_shards=mesh.shape["data"],
         device_normalize=args.device_normalize,
+        pp_microbatches=args.pp_microbatches,
     )
     train_step = jax.jit(
         make_slot_train_step(
             model, teacher, tx, loss_cfg, step_cfg, lr_fn,
             segformer_apply=segformer_apply,
+            pp_mesh=mesh if args.pp_stages > 1 else None,
         ),
         donate_argnums=(0,),
     )

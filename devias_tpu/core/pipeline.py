@@ -19,10 +19,21 @@ Why this shape:
     keeps stage 0's tick critical path identical to the other stages'.
 
 Bubble fraction is the usual (S-1)/(M+S-1); pick n_micro >= 4*S to keep it
-under ~20%. Deterministic-mode only (dropout/drop_path rng-per-stage is
-wired for SP in `seq_parallel_tokens`; PP training with stochastic
-regularization raises until the same fold-by-(stage, microbatch) treatment
-is added).
+under ~20%.
+
+Stochastic training (deterministic=False, requires `rng`): rng streams are
+derived so that the same (sample, block) pair always sees the same stream
+regardless of which stage/tick processes it —
+  * embed/pos dropout folds the data-shard index only (it runs redundantly
+    on every pipe rank and MUST agree across them);
+  * in-block dropout and drop_path fold (data shard, global block index,
+    microbatch) — distinct streams per block application, with flax's
+    make_rng sequencing the two drop_path call sites within a block;
+  * each block's stochastic-depth RATE is the reference linspace value for
+    its GLOBAL index (ref modeling_slot.py:259 dpr), selected at runtime
+    inside the stage scan (nn/vit.py Block drop_path_override).
+This enables the published drop_path 0.2 recipe under PP (VERDICT r3
+item 4: the full slot step trains under --pp_stages).
 """
 
 from __future__ import annotations
@@ -57,24 +68,22 @@ def _tree_stack(trees):
 
 
 def pipeline_tokens(backbone, params, videos, mesh: Mesh, n_micro: int,
-                    deterministic: bool = True):
+                    deterministic: bool = True, rng=None):
     """Run a VideoViT backbone pipeline-parallel over `mesh`'s pipe axis.
 
     `params` is the backbone's own param dict (with `blocks_i` children).
     The batch axis additionally shards over the data axis. Returns the full
     token tensor [B, N, D] (replicated over pipe, sharded over data), equal
     to `backbone.apply({'params': params}, videos, True)` up to dtype
-    rounding.
+    rounding. deterministic=False (requires `rng`) trains with dropout /
+    stochastic depth — rng derivation in the module docstring.
     """
     from jax.experimental.shard_map import shard_map
 
     from devias_tpu.nn.vit import Block, FastLayerNorm  # local import: avoid cycle
 
-    if not deterministic:
-        raise NotImplementedError(
-            "pipeline parallelism with stochastic regularization: fold rng "
-            "by (stage, microbatch) as seq_parallel_tokens does per shard"
-        )
+    if not deterministic and rng is None:
+        raise ValueError("deterministic=False requires rng")
     if backbone.use_cls_token or backbone.num_extra_suffix_tokens:
         raise NotImplementedError("pipeline parallelism with cls/suffix tokens")
 
@@ -113,25 +122,56 @@ def pipeline_tokens(backbone, params, videos, mesh: Mesh, n_micro: int,
     }
     norm_p = params.get("norm")
 
-    def run_stage(stage_p, x):
-        def one(h, p):
-            return block.apply({"params": p}, h, True), None
+    dpr_full = jnp.asarray(
+        np.linspace(0.0, backbone.drop_path_rate, depth), jnp.float32
+    )
 
-        x, _ = jax.lax.scan(one, x, stage_p)
-        return x
-
-    def body(other_p, stage_p, v):
+    def body(other_p, stage_p, v, key):
         # stage_p leaves arrive as [1, per_stage, ...] (this rank's shard)
         stage_p = jax.tree.map(lambda x: x[0], stage_p)
-        x = embed_tail.apply({"params": other_p}, v, True)  # [b, N, D]
+        di = jax.lax.axis_index(DATA_AXIS)
+        pipe_idx = jax.lax.axis_index(PIPE_AXIS)
+        if deterministic:
+            embed_rngs = None
+            k_drop = k_dp = None
+        else:
+            k_embed, k_drop, k_dp = jax.random.split(key, 3)
+            # every pipe rank MUST draw the same embed/pos dropout mask
+            # (the embed tail runs redundantly on all of them): data fold only
+            embed_rngs = {"dropout": jax.random.fold_in(k_embed, di)}
+        x = embed_tail.apply(
+            {"params": other_p}, v, deterministic, rngs=embed_rngs
+        )  # [b, N, D]
         b, N, D = x.shape
         M = n_micro
         if b % M:
             raise ValueError(f"local batch {b} not divisible by n_micro {M}")
         xs = x.reshape(M, b // M, N, D)
         out_buf = jnp.zeros_like(xs)
-        pipe_idx = jax.lax.axis_index(PIPE_AXIS)
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        # global block ids of this rank's stage (for the linspace drop_path
+        # rate and the per-block rng folds)
+        gidx = pipe_idx * per_stage + jnp.arange(per_stage)
+
+        def run_stage(stage_p, x, mb):
+            def one(h, p_gi):
+                p, gi = p_gi
+                if deterministic:
+                    return block.apply({"params": p}, h, True), None
+
+                def fold(k):
+                    k = jax.random.fold_in(k, di)
+                    k = jax.random.fold_in(k, gi)
+                    return jax.random.fold_in(k, mb)
+
+                return block.apply(
+                    {"params": p}, h, False,
+                    drop_path_override=dpr_full[gi],
+                    rngs={"dropout": fold(k_drop), "drop_path": fold(k_dp)},
+                ), None
+
+            x, _ = jax.lax.scan(one, x, (stage_p, gidx))
+            return x
 
         def tick(carry, t):
             state, out_buf = carry
@@ -139,7 +179,10 @@ def pipeline_tokens(backbone, params, videos, mesh: Mesh, n_micro: int,
                 xs, jnp.clip(t, 0, M - 1), 0, keepdims=False
             )
             cur = jnp.where(pipe_idx == 0, inj, state)
-            out = run_stage(stage_p, cur)
+            # microbatch id flowing through THIS stage at tick t (warmup /
+            # drain ticks compute garbage that is never collected; the clip
+            # keeps the rng fold in range)
+            out = run_stage(stage_p, cur, jnp.clip(t - pipe_idx, 0, M - 1))
             # collect finished microbatch t-(S-1) on the last stage
             slot = jnp.clip(t - (n_stages - 1), 0, M - 1)
             valid = jnp.logical_and(pipe_idx == n_stages - 1, t >= n_stages - 1)
@@ -168,8 +211,10 @@ def pipeline_tokens(backbone, params, videos, mesh: Mesh, n_micro: int,
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(PIPE_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(PIPE_AXIS), P(DATA_AXIS), P()),
         out_specs=P(DATA_AXIS),
         check_rep=False,
     )
-    return fn(other, stacked, videos)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)  # unused when deterministic
+    return fn(other, stacked, videos, rng)

@@ -145,25 +145,18 @@ class DataLoader:
                     break
 
 
-def device_prefetch(iterator, size: int = 2, sharding=None, transfer=None):
-    """Overlap host->device transfer with compute: a dedicated background
-    thread pulls host batches and issues the device transfer, keeping up to
-    `size` device-resident batches ahead of the consumer (the reference
-    relies on pinned-memory DataLoader + non_blocking copies for the same
-    purpose, ref engine_for_slot.py:98-99).
+def make_default_transfer(sharding=None):
+    """The default host->device transfer as an (issue, force) pair.
 
-    The transfer MUST run off the consumer thread: over a device relay,
-    `jax.device_put` blocks until the bytes land, so an inline transfer
-    serializes with step dispatch and the pipeline runs at
-    1/(host + transfer + step) instead of 1/max(host, transfer, step)
-    (VERDICT r2 weak item 1).
+    issue(batch) starts the upload (jax.device_put returns in ~28 ms over a
+    device relay while the bytes move asynchronously); force(out) blocks
+    until the batch is device-resident, via a dependent one-element fetch —
+    over the relay `block_until_ready` returns early (docs/PERF.md relay
+    facts), so a real value fetch is the only trustworthy completion sync.
 
-    Multi-host: each process's loader yields its per-host shard; the batch
-    is assembled into the global sharded array (the JAX equivalent of the
-    reference's DistributedSampler feeding DDP ranks).
-
-    `transfer` overrides the batch->device function (tests inject a slow
-    fake to assert the overlap property without TPU hardware)."""
+    Splitting the two lets device_prefetch keep several uploads in flight
+    (the relay pipelines concurrent puts at ~1.07x single-upload wall,
+    measured round 4) instead of paying an RTT-gated upload per batch."""
     import jax
     import numpy as np
 
@@ -178,22 +171,52 @@ def device_prefetch(iterator, size: int = 2, sharding=None, transfer=None):
             return jax.device_put(x, sharding)
         return jax.device_put(x)
 
-    if transfer is None:
+    def issue(batch):
+        return jax.tree.map(put_leaf, batch)
 
-        def transfer(batch):
-            out = jax.tree.map(put_leaf, batch)
-            # Force the upload to finish NOW, on this worker thread: over a
-            # device relay `device_put` returns in ~28 ms but the bytes move
-            # lazily/serially (~0.73 s for a 29 MB batch, measured) — left
-            # unforced, the consumer's step pulls them itself and the
-            # transfer serializes with compute. A dependent one-element
-            # fetch blocks this thread until the array is device-resident;
-            # host decode keeps running meanwhile (the wait is network, not
-            # CPU: 0.04 s process time per batch).
-            for leaf in jax.tree.leaves(out):
-                if hasattr(leaf, "shape") and getattr(leaf, "size", 0):
-                    jax.device_get(leaf[(0,) * leaf.ndim])
-            return out
+    def force(out):
+        for leaf in jax.tree.leaves(out):
+            if hasattr(leaf, "shape") and getattr(leaf, "size", 0):
+                jax.device_get(leaf[(0,) * leaf.ndim])
+        return out
+
+    return issue, force
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None, transfer=None,
+                    inflight: int = 2):
+    """Overlap host->device transfer with compute: a dedicated background
+    thread pulls host batches and issues the device transfer, keeping up to
+    `size` device-resident batches ahead of the consumer (the reference
+    relies on pinned-memory DataLoader + non_blocking copies for the same
+    purpose, ref engine_for_slot.py:98-99).
+
+    The transfer MUST run off the consumer thread: over a device relay,
+    a synced `jax.device_put` blocks until the bytes land, so an inline
+    transfer serializes with step dispatch and the pipeline runs at
+    1/(host + transfer + step) instead of 1/max(host, transfer, step)
+    (VERDICT r2 weak item 1). Up to `inflight` uploads are kept in flight
+    before the oldest is forced to completion and handed downstream — the
+    force is what makes the consumer see only device-resident batches,
+    while the pipelined issue hides the per-upload completion RTT.
+
+    Multi-host: each process's loader yields its per-host shard; the batch
+    is assembled into the global sharded array (the JAX equivalent of the
+    reference's DistributedSampler feeding DDP ranks).
+
+    `transfer` overrides the (issue, force) pair: a single callable is a
+    blocking transfer (issue=transfer, no separate force — tests inject a
+    slow fake to assert the overlap property without TPU hardware); a
+    2-tuple supplies (issue, force) explicitly (benchmarks wrap the default
+    pair with timers)."""
+    from collections import deque
+
+    if transfer is None:
+        issue, force = make_default_transfer(sharding)
+    elif isinstance(transfer, tuple):
+        issue, force = transfer
+    else:
+        issue, force = transfer, lambda out: out
 
     q: queue.Queue = queue.Queue(maxsize=max(size, 1))
     stop = threading.Event()
@@ -210,13 +233,31 @@ def device_prefetch(iterator, size: int = 2, sharding=None, transfer=None):
         return False
 
     def worker():
+        pending: deque = deque()
+
+        def flush() -> bool:
+            while pending:
+                if not _offer(force(pending.popleft())):
+                    return False
+            return True
+
         try:
             for batch in iterator:
                 if stop.is_set():
                     return
-                if not _offer(transfer(batch)):
-                    return
-        except BaseException as exc:  # propagate to the consumer thread
+                pending.append(issue(batch))
+                if len(pending) >= max(inflight, 1):
+                    if not _offer(force(pending.popleft())):
+                        return
+            if not flush():
+                return
+        except BaseException as exc:  # propagate to the consumer thread,
+            # after the batches already in flight (an upstream decode error
+            # must not reorder ahead of data the consumer is owed)
+            try:
+                flush()
+            except BaseException:
+                pass
             _offer(exc)
             return
         _offer(_END)

@@ -103,9 +103,12 @@ class SlotViT(nn.Module):
     int8_dense: bool = False  # w8a8 backbone GEMMs (frozen-inference only)
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        tokens = VideoViT(
+    def backbone_kwargs(self) -> dict:
+        """The configured VideoViT fields, shared by __call__ (which names
+        it 'backbone') and external token producers (core/pipeline.py's
+        pipeline-parallel path builds the same module unnamed and consumes
+        params['backbone'] directly)."""
+        return dict(
             embed_dim=self.embed_dim,
             depth=self.depth,
             num_heads=self.num_heads,
@@ -127,8 +130,20 @@ class SlotViT(nn.Module):
             input_norm=self.input_norm,
             int8_dense=self.int8_dense,
             dtype=self.dtype,
-            name="backbone",
-        )(x, deterministic=deterministic)
+        )
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, tokens=None):
+        # `tokens` short-circuits the backbone with externally produced
+        # [B, N, D] tokens (the pipeline-parallel training path runs the
+        # backbone under core/pipeline.py::pipeline_tokens and the agg/
+        # heads/loss on the full token tensor); params['backbone'] is then
+        # simply unused by this apply.
+        if tokens is None:
+            tokens = VideoViT(
+                **self.backbone_kwargs(),
+                name="backbone",
+            )(x, deterministic=deterministic)
 
         slots, attn = AggregationBlock(
             num_latents=self.num_latents,

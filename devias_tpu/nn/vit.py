@@ -44,11 +44,13 @@ def sinusoid_position_table(n_position: int, d_hid: int) -> np.ndarray:
 
 
 def drop_path(
-    x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]
+    x: jax.Array, rate, deterministic: bool, rng: Optional[jax.Array]
 ) -> jax.Array:
     """Per-sample stochastic depth (timm `drop_path` semantics: scale kept
-    samples by 1/keep_prob)."""
-    if deterministic or rate == 0.0:
+    samples by 1/keep_prob). `rate` may be a traced scalar (the pipeline-
+    parallel stage scan selects the per-block linspace rate at runtime,
+    core/pipeline.py); the zero-rate shortcut only applies to static rates."""
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -293,7 +295,14 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, drop_path_override=None):
+        # drop_path_override: traced per-block rate for callers that scan one
+        # Block over stacked per-block params (core/pipeline.py) — a module
+        # attribute can't vary inside the scan, so the linspace rate is
+        # selected at runtime and passed in.
+        dp_rate = (
+            self.drop_path_rate if drop_path_override is None else drop_path_override
+        )
         C = x.shape[-1]
         y = FastLayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
         y = Attention(

@@ -44,6 +44,9 @@ class TrainStepConfig:
     # (half the wire bytes; data/yuv.py) and the step unpacks to RGB [0,1]
     # on-device. Requires device_normalize=True.
     wire_format: str = "rgb"
+    # GPipe microbatches per micro-step when make_slot_train_step gets a
+    # pp_mesh (core/pipeline.py); >= 4x pipe stages keeps the bubble <20%
+    pp_microbatches: int = 4
 
 
 def _global_norm(tree) -> jnp.ndarray:
@@ -126,6 +129,7 @@ def make_slot_train_step(
     step_cfg: TrainStepConfig = TrainStepConfig(),
     lr_fn: Optional[Callable] = None,
     segformer_apply: Optional[Callable] = None,
+    pp_mesh=None,
 ):
     """DEVIAS slot training step (ref engine/engine_for_slot.py:50-169).
 
@@ -136,8 +140,22 @@ def make_slot_train_step(
     segformer_apply: optional frozen mask model, [N,H,W,3] -> quarter-res
     logits; selects the reference's '--mask_model Segformer' branch
     (ref engine_for_slot.py:108-118) instead of FAME.
+
+    pp_mesh: a (data, pipe) Mesh (core/pipeline.py::make_pp_mesh) selects
+    pipeline-parallel training (beyond reference parity): the ViT backbone
+    runs under the GPipe microbatch schedule with its block stack split
+    over the pipe axis, and the agg block / heads / loss run on the full
+    token tensor (replicated over pipe, sharded over data). Microbatch
+    count comes from step_cfg.pp_microbatches. The frozen teacher forward
+    stays outside the pipe (GSPMD replicates it over the pipe axis).
     """
     U = step_cfg.update_freq
+    pp_backbone = None
+    if pp_mesh is not None:
+        from devias_tpu.core.pipeline import pipeline_tokens
+        from devias_tpu.nn.vit import VideoViT
+
+        pp_backbone = VideoViT(**model.backbone_kwargs())
 
     def micro_loss(params, teacher_params, videos, labels, rng):
         fame_rng, drop_rng, dp_rng = jax.random.split(rng, 3)
@@ -202,11 +220,20 @@ def make_slot_train_step(
         )
         teacher_logits = jax.lax.stop_gradient(teacher_out["logits"])
 
+        tokens = None
+        if pp_backbone is not None:
+            pp_rng = jax.random.fold_in(drop_rng, 1)
+            tokens = pipeline_tokens(
+                pp_backbone, params["backbone"], videos, pp_mesh,
+                n_micro=step_cfg.pp_microbatches,
+                deterministic=False, rng=pp_rng,
+            )
         student = model.apply(
             {"params": params},
             videos,
             deterministic=False,
             rngs={"dropout": drop_rng, "drop_path": dp_rng},
+            tokens=tokens,
         )
         total, action_logits, parts = devias_slot_loss(
             student, teacher_logits, labels, fg_mask, fg_pf, loss_cfg

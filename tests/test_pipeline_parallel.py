@@ -81,7 +81,47 @@ def test_pp_validation_errors():
     params = ref.init({"params": jax.random.PRNGKey(0)}, videos)["params"]
     with pytest.raises(ValueError, match="not divisible by pipe"):
         pipeline_tokens(ref, params, videos, mesh, n_micro=4)
-    with pytest.raises(NotImplementedError, match="stochastic"):
+    with pytest.raises(ValueError, match="requires rng"):
         pipeline_tokens(
             VideoViT(**TINY), params, videos, mesh, n_micro=4, deterministic=False
         )
+
+
+def test_pp_stochastic_trains():
+    """deterministic=False: dropout + the linspace drop_path schedule run
+    inside the pipe (rng folded by data shard / global block / microbatch —
+    core/pipeline.py docstring). Checks: finite loss + grads; a zero-rate
+    stochastic pass equals the deterministic pass exactly (the rng plumbing
+    itself must not perturb the math); two different keys give different
+    losses; the same key reproduces."""
+    mesh = make_pp_mesh(4)
+    videos = _videos()
+    sto = VideoViT(**{**TINY, "drop_rate": 0.1, "drop_path_rate": 0.2})
+    zero = VideoViT(**TINY)
+    params = zero.init({"params": jax.random.PRNGKey(0)}, videos)["params"]
+
+    def loss(model, p, v, key, det=False):
+        toks = pipeline_tokens(
+            model, p, v, mesh, n_micro=4, deterministic=det, rng=key
+        )
+        return (toks.astype(jnp.float32) ** 2).mean()
+
+    with mesh:
+        # rng plumbing is a no-op at rate 0
+        l_det = float(jax.jit(lambda p, v: loss(zero, p, v, None, det=True))(params, videos))
+        l_zero = float(
+            jax.jit(lambda p, v, k: loss(zero, p, v, k))(
+                params, videos, jax.random.PRNGKey(1)
+            )
+        )
+        assert l_zero == pytest.approx(l_det, rel=1e-6)
+
+        f = jax.jit(jax.value_and_grad(lambda p, v, k: loss(sto, p, v, k)))
+        l1, g1 = f(params, videos, jax.random.PRNGKey(1))
+        l1b, _ = f(params, videos, jax.random.PRNGKey(1))
+        l2, _ = f(params, videos, jax.random.PRNGKey(2))
+    assert np.isfinite(float(l1))
+    assert float(l1) == float(l1b), "same key must reproduce"
+    assert float(l1) != float(l2), "different keys must differ"
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g1):
+        assert np.isfinite(np.asarray(leaf)).all(), jax.tree_util.keystr(path)
