@@ -26,6 +26,8 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
+from devias_tpu.data import native_augment as NA
+
 _FILL = 128
 
 
@@ -51,7 +53,28 @@ def _blend(a: np.ndarray, b: np.ndarray, f: float) -> np.ndarray:
     return cv2.addWeighted(a2, 1.0 - f, b2, f, 0.0).reshape(shape)
 
 
+def _autocontrast_luts_from_hist(hist: np.ndarray) -> np.ndarray:
+    """hist [T,3,256] -> per-frame per-channel autocontrast LUTs [T,3,256].
+    Same math as the per-frame branch below (PIL ImageOps.autocontrast with
+    cutoff=0), vectorized across (frame, channel)."""
+    idx = np.arange(256, dtype=np.float64)
+    present = hist > 0  # [T,3,256]
+    lo = np.argmax(present, axis=-1).astype(np.float64)  # first nonzero
+    hi = (255 - np.argmax(present[..., ::-1], axis=-1)).astype(np.float64)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    luts = np.clip(
+        np.round((idx[None, None] - lo[..., None]) * (255.0 / span[..., None])),
+        0, 255,
+    )
+    return np.where(
+        (hi > lo)[..., None], luts, idx[None, None]
+    ).astype(np.uint8)
+
+
 def autocontrast(clip: np.ndarray) -> np.ndarray:
+    if NA.available():
+        hist = NA.hist_per_frame(clip)
+        return NA.lut_per_frame(clip, _autocontrast_luts_from_hist(hist))
     out = np.empty_like(clip)
     idx = np.arange(256, dtype=np.float64)
     # per-(frame, channel) extrema via cv2.reduce (SIMD; numpy's strided
@@ -73,9 +96,33 @@ def autocontrast(clip: np.ndarray) -> np.ndarray:
     return out
 
 
+def _equalize_luts_from_hist(hist: np.ndarray) -> np.ndarray:
+    """hist [T,3,256] -> PIL stepped-equalization LUTs [T,3,256], same math
+    as the per-frame branch below, vectorized across (frame, channel)."""
+    h = hist.astype(np.int64)
+    total = h.sum(-1)  # [T,3]
+    nz = h > 0
+    n_nz = nz.sum(-1)
+    # value of the LAST nonzero bin
+    last_idx = 255 - np.argmax(nz[..., ::-1], axis=-1)
+    last = np.take_along_axis(h, last_idx[..., None], axis=-1)[..., 0]
+    step = (total - last) // 255  # [T,3]
+    excl = np.concatenate(
+        [np.zeros_like(h[..., :1]), np.cumsum(h, axis=-1)[..., :-1]], axis=-1
+    )
+    safe_step = np.maximum(step, 1)[..., None]
+    luts = np.clip((np.maximum(step, 1)[..., None] // 2 + excl) // safe_step, 0, 255)
+    identity = np.arange(256, dtype=np.int64)[None, None]
+    use_id = (n_nz <= 1) | (step == 0)
+    return np.where(use_id[..., None], identity, luts).astype(np.uint8)
+
+
 def equalize(clip: np.ndarray) -> np.ndarray:
     """PIL ImageOps.equalize: stepped LUT per channel per frame.
     LUT built vectorized: lut[i] = (step//2 + excl_cumsum(h)[i]) // step."""
+    if NA.available():
+        hist = NA.hist_per_frame(clip)
+        return NA.lut_per_frame(clip, _equalize_luts_from_hist(hist))
     out = np.empty_like(clip)
     identity = np.arange(256, dtype=np.uint8)
     for t in range(clip.shape[0]):
@@ -120,14 +167,23 @@ def solarize_add(clip: np.ndarray, add: float, thresh: int = 128) -> np.ndarray:
 
 
 def color(clip: np.ndarray, f: float) -> np.ndarray:
+    if NA.available():
+        return NA.color_blend(clip, f)
     g = _gray(clip)[..., None].repeat(3, axis=-1)
     return _blend(g, clip, f)
 
 
 def contrast(clip: np.ndarray, f: float) -> np.ndarray:
     """Per-value map -> per-frame LUT: mean*(1-f) + i*f."""
-    out = np.empty_like(clip)
     idx = np.arange(256, dtype=np.float64)
+    if NA.available():
+        # PIL: mean of the grayscale image, rounded via int(mean + 0.5)
+        means = np.floor(NA.gray_mean_per_frame(clip) + 0.5)
+        luts = np.clip(
+            np.round(means[:, None] * (1.0 - f) + idx[None] * f), 0, 255
+        ).astype(np.uint8)
+        return NA.lut_per_frame(clip, np.repeat(luts[:, None, :], 3, axis=1))
+    out = np.empty_like(clip)
     for t in range(clip.shape[0]):
         # PIL: mean of the grayscale image, rounded via int(mean + 0.5)
         mean = int(_gray(clip[t]).mean() + 0.5)
@@ -186,22 +242,45 @@ def _warp_inverse(clip: np.ndarray, inv: np.ndarray, interpolation="bicubic", rn
     return out
 
 
+def _native_interp_flags(interpolation, rng, n_frames):
+    """Map _frame_flags' cv2 flags to the native core's 1=cubic / 0=linear,
+    consuming the SAME rng draws as the cv2 path (per-frame choice for
+    'random' — stream parity with the python fast path)."""
+    return [int(fl == cv2.INTER_CUBIC) for fl in _frame_flags(interpolation, rng, n_frames)]
+
+
+def _axis_warp(clip, axis_x: bool, shear: float, off: float,
+               interpolation="bicubic", rng=None):
+    """1-D inverse-map warp via the native core when available: ShearX /
+    TranslateX resample along x only (src_y = y exactly, where the cubic
+    kernel is the identity), ShearY / TranslateY along y — 4 taps instead
+    of the generic 16-tap warp, with PIL's a=-1.0 cubic kernel and its
+    clamp-taps / fill-iff-source-out-of-range edge rule."""
+    if NA.available():
+        flags = _native_interp_flags(interpolation, rng, clip.shape[0])
+        fn = NA.warp_x if axis_x else NA.warp_y
+        return fn(clip, shear, off, _FILL, flags)
+    if axis_x:
+        inv = np.array([[1, shear, off], [0, 1, 0]], np.float32)
+    else:
+        inv = np.array([[1, 0, 0], [shear, 1, off]], np.float32)
+    return _warp_inverse(clip, inv, interpolation=interpolation, rng=rng)
+
+
 def shear_x(clip: np.ndarray, f: float, **kw) -> np.ndarray:
-    return _warp_inverse(clip, np.array([[1, f, 0], [0, 1, 0]], np.float32), **kw)
+    return _axis_warp(clip, True, f, 0.0, **kw)
 
 
 def shear_y(clip: np.ndarray, f: float, **kw) -> np.ndarray:
-    return _warp_inverse(clip, np.array([[1, 0, 0], [f, 1, 0]], np.float32), **kw)
+    return _axis_warp(clip, False, f, 0.0, **kw)
 
 
 def translate_x_rel(clip: np.ndarray, f: float, **kw) -> np.ndarray:
-    px = f * clip.shape[2]
-    return _warp_inverse(clip, np.array([[1, 0, px], [0, 1, 0]], np.float32), **kw)
+    return _axis_warp(clip, True, 0.0, float(f * clip.shape[2]), **kw)
 
 
 def translate_y_rel(clip: np.ndarray, f: float, **kw) -> np.ndarray:
-    px = f * clip.shape[1]
-    return _warp_inverse(clip, np.array([[1, 0, 0], [0, 1, px]], np.float32), **kw)
+    return _axis_warp(clip, False, 0.0, float(f * clip.shape[1]), **kw)
 
 
 def rotate(clip: np.ndarray, deg: float, interpolation="bicubic", rng=None) -> np.ndarray:

@@ -115,6 +115,15 @@ def random_resized_crop_clip(
 def horizontal_flip_clip(clip: np.ndarray, p: float = 0.5, rng: Optional[random.Random] = None) -> np.ndarray:
     rng = rng or random
     if rng.random() < p:
+        if (
+            cv2 is not None and clip.dtype == np.uint8 and clip.ndim == 4
+            and clip.flags["C_CONTIGUOUS"]
+        ):
+            # cv2.flip emits a CONTIGUOUS result via SIMD; the numpy
+            # negative-stride view makes the downstream ascontiguousarray
+            # copy the whole clip one element at a time (~2 ms/clip)
+            t, h, w, c = clip.shape
+            return cv2.flip(clip.reshape(t * h, w, c), 1).reshape(clip.shape)
         return clip[:, :, ::-1]
     return clip
 
