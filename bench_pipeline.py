@@ -1,6 +1,13 @@
 """End-to-end input-pipeline benchmark: decode -> host augment -> transfer
 -> train step, on real encoded mp4s (VERDICT r1 item 8; per-stage
-instrumentation + steady-state window VERDICT r3 item 1).
+instrumentation + steady-state window VERDICT r3 item 1; --mode eval
+VERDICT r3 item 8).
+
+--mode eval benches the SERVING pipeline instead: decode -> val transform
+(short-side resize + center crop, data/transforms.py::val_transform) ->
+transfer -> deterministic slot-model forward with a per-batch logits fetch
+(exactly what eval/protocols.py does per batch during SCUBA/HAT/val
+sweeps, which are decode-bound in practice).
 
 Measures three rates and prints ONE JSON line:
 
@@ -87,7 +94,16 @@ def main():
         "uint8 bytes, device-side unpack; data/yuv.py) — the default for "
         "the training pipeline; rgb ships raw RGB bytes",
     )
+    ap.add_argument(
+        "--mode", choices=["train", "eval"], default="train",
+        help="train: RandAugment chain + full train step; eval: val "
+        "transform chain + deterministic forward with per-batch logits "
+        "fetch (the serving/protocol path)",
+    )
     args = ap.parse_args()
+    eval_mode = args.mode == "eval"
+    if eval_mode:
+        args.wire = "rgb"  # val/test always ship RGB bytes (data/datasets.py)
     if args.wire == "yuv420" and not args.device_normalize:
         ap.error("--wire yuv420 requires device normalization")
 
@@ -123,7 +139,7 @@ def main():
             host_normalize=not args.device_normalize,
             wire_format=args.wire,
         )
-        ds, _ = build_dataset(True, False, cfg)
+        ds, _ = build_dataset(not eval_mode, False, cfg)
 
         def fresh_loader():
             loader = DataLoader(
@@ -163,29 +179,51 @@ def main():
             dtype=jnp.bfloat16, fused_attention=True, patch_embed_conv=False,
             input_norm=args.device_normalize,
         )
-        teacher = create_model(
-            "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,
-            dtype=jnp.bfloat16, fused_attention=True, patch_embed_conv=False,
-            input_norm=args.device_normalize,
-        )
         x0 = jnp.zeros((B, 16, args.input, args.input, 3), jnp.float32)
         params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x0)["params"]
-        tparams = jax.jit(teacher.init)({"params": jax.random.PRNGKey(1)}, x0)["params"]
-        tx, lr_fn = make_optimizer(params, OptimConfig(lr=5e-4, total_steps=1000, warmup_steps=10))
-        state = TrainState.create(params, tx)
-        step = jax.jit(
-            make_slot_train_step(
-                model, teacher, tx,
-                SlotLossConfig(num_action_classes=4, num_scene_classes=365),
-                TrainStepConfig(
-                    use_fame=True, fame=FAMEConfig(beta=0.5, prob_aug=0.8),
-                    device_normalize=args.device_normalize,
-                    wire_format=args.wire,
+        if eval_mode:
+            # the per-batch protocol step: deterministic forward + logits
+            # fetch (eval/protocols.py accumulates logits on host per batch)
+            @jax.jit
+            def eval_fwd(p, v):
+                out = model.apply({"params": p}, v, deterministic=True)
+                return out["action_logit"], out["scene_logit"]
+
+            def run_batch(batch):
+                return jax.device_get(eval_fwd(params, batch["videos"]))
+
+            def drain():
+                pass
+        else:
+            teacher = create_model(
+                "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,
+                dtype=jnp.bfloat16, fused_attention=True, patch_embed_conv=False,
+                input_norm=args.device_normalize,
+            )
+            tparams = jax.jit(teacher.init)({"params": jax.random.PRNGKey(1)}, x0)["params"]
+            tx, lr_fn = make_optimizer(params, OptimConfig(lr=5e-4, total_steps=1000, warmup_steps=10))
+            state = TrainState.create(params, tx)
+            step = jax.jit(
+                make_slot_train_step(
+                    model, teacher, tx,
+                    SlotLossConfig(num_action_classes=4, num_scene_classes=365),
+                    TrainStepConfig(
+                        use_fame=True, fame=FAMEConfig(beta=0.5, prob_aug=0.8),
+                        device_normalize=args.device_normalize,
+                        wire_format=args.wire,
+                    ),
+                    lr_fn,
                 ),
-                lr_fn,
-            ),
-            donate_argnums=(0,),
-        )
+                donate_argnums=(0,),
+            )
+            metrics = None
+
+            def run_batch(batch):
+                nonlocal state, metrics
+                state, metrics = step(state, tparams, batch, jax.random.PRNGKey(0))
+
+            def drain():
+                jax.device_get(metrics["loss"])
 
         # --- device-only rate (preloaded synthetic batch) ---
         rng = np.random.default_rng(0)
@@ -199,12 +237,12 @@ def main():
             vids = rng.normal(size=(B, 16, args.input, args.input, 3)).astype(np.float32)
         pre = {"videos": jnp.asarray(vids), "labels": jnp.asarray(rng.integers(0, 4, size=B))}
         for _ in range(3):
-            state, metrics = step(state, tparams, pre, jax.random.PRNGKey(0))
-        jax.device_get(metrics["loss"])
+            run_batch(pre)
+        drain()
         t0 = time.perf_counter()
         for _ in range(args.batches):
-            state, metrics = step(state, tparams, pre, jax.random.PRNGKey(0))
-        jax.device_get(metrics["loss"])
+            run_batch(pre)
+        drain()
         dev_rate = n_clips / (time.perf_counter() - t0)
 
         # --- end-to-end: loader -> prefetch -> step, instrumented ---
@@ -246,7 +284,7 @@ def main():
             transfer=(timed_issue, timed_force), inflight=args.inflight,
         )
         first = next(it)  # exclude first-decode warmup from the timed window
-        state, metrics = step(state, tparams, first, jax.random.PRNGKey(0))
+        run_batch(first)
         # steady-state window: run n_trim + n_meas batches, drop the first
         # n_trim (they drain pre-filled prefetch queues — loader prefetch +
         # pending uploads + consumer queue ~ 6-8 batches — and would
@@ -254,19 +292,28 @@ def main():
         n_trim = 4
         n_meas = max(args.batches, 8)
         ts = []
+        cpu0 = time.process_time()  # re-captured at the window start below
         for i in range(n_trim + n_meas):
             t0 = time.perf_counter()
             batch = next(it)
             wait = time.perf_counter() - t0
             t0 = time.perf_counter()
-            state, metrics = step(state, tparams, batch, jax.random.PRNGKey(0))
+            run_batch(batch)
             disp = time.perf_counter() - t0
             if i >= n_trim:
                 stats["consumer_wait"].append(wait)
                 stats["dispatch"].append(disp)
             ts.append(time.perf_counter())
-        jax.device_get(metrics["loss"])  # drain the last dispatched step
-        e2e_rate = n_meas * B / (time.perf_counter() - ts[n_trim - 1])
+            if i == n_trim - 1:
+                cpu0 = time.process_time()
+        drain()  # drain the last dispatched train step (eval fetches inline)
+        e2e_wall = time.perf_counter() - ts[n_trim - 1]
+        # whole-process CPU over the window: ~1.0 x host cores means the
+        # overlapped pipeline is CPU-saturated (decode + augment + the
+        # relay client's upload serialization/TLS share the same cores) —
+        # the honest single-core bound, not an overlap failure
+        e2e_cpu_frac = (time.process_time() - cpu0) / e2e_wall / (os.cpu_count() or 1)
+        e2e_rate = n_meas * B / e2e_wall
         it.close()  # join the transfer thread before interpreter teardown
 
     if args.debug_stages:
@@ -284,7 +331,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "devias_pipeline_throughput",
+                "metric": "devias_pipeline_throughput" if not eval_mode
+                else "devias_eval_pipeline_throughput",
+                "mode": args.mode,
                 "value": round(e2e_rate, 2),
                 "unit": "clips/sec/chip",
                 "host_clips_per_sec": round(host_rate, 2),
@@ -293,6 +342,7 @@ def main():
                 "e2e_clips_per_sec": round(e2e_rate, 2),
                 "bound_clips_per_sec": round(bound, 2),
                 "e2e_vs_bound": round(e2e_rate / bound, 3),
+                "e2e_cpu_frac": round(e2e_cpu_frac, 3),
                 "stage_host_wait_s": med(stats["host_wait"]),
                 "stage_issue_s": med(stats["issue"]),
                 "stage_force_s": med(stats["force"]),

@@ -209,8 +209,6 @@ def device_prefetch(iterator, size: int = 2, sharding=None, transfer=None,
     slow fake to assert the overlap property without TPU hardware); a
     2-tuple supplies (issue, force) explicitly (benchmarks wrap the default
     pair with timers)."""
-    from collections import deque
-
     if transfer is None:
         issue, force = make_default_transfer(sharding)
     elif isinstance(transfer, tuple):
@@ -219,51 +217,72 @@ def device_prefetch(iterator, size: int = 2, sharding=None, transfer=None,
         issue, force = transfer, lambda out: out
 
     q: queue.Queue = queue.Queue(maxsize=max(size, 1))
+    # issued-but-not-forced handles; its depth caps concurrent uploads
+    mid: queue.Queue = queue.Queue(maxsize=max(inflight, 1))
     stop = threading.Event()
     _END = object()
 
-    def _offer(item) -> bool:
+    def _offer(dst: queue.Queue, item) -> bool:
         # bounded put that aborts if the consumer has gone away
         while not stop.is_set():
             try:
-                q.put(item, timeout=0.2)
+                dst.put(item, timeout=0.2)
                 return True
             except queue.Full:
                 continue
         return False
 
-    def worker():
-        pending: deque = deque()
+    def _take(src: queue.Queue):
+        while not stop.is_set():
+            try:
+                return src.get(timeout=0.2)
+            except queue.Empty:
+                continue
+        return _END
 
-        def flush() -> bool:
-            while pending:
-                if not _offer(force(pending.popleft())):
-                    return False
-            return True
+    # Two stages so the wire never idles behind a host wait: the issuer
+    # starts each upload the moment a host batch exists (the relay pipelines
+    # concurrent puts), the forcer independently harvests completions in
+    # order. A single thread doing pull -> issue -> force serializes the
+    # host wait WITH the upload completion wait and caps the pipeline at
+    # 1/(host_wait + upload) instead of 1/max(host, wire) (measured
+    # round 4: 20.4 -> ~26 clips/s on the 1-core container).
 
+    def issuer():
         try:
             for batch in iterator:
                 if stop.is_set():
                     return
-                pending.append(issue(batch))
-                if len(pending) >= max(inflight, 1):
-                    if not _offer(force(pending.popleft())):
-                        return
-            if not flush():
-                return
-        except BaseException as exc:  # propagate to the consumer thread,
-            # after the batches already in flight (an upstream decode error
-            # must not reorder ahead of data the consumer is owed)
-            try:
-                flush()
-            except BaseException:
-                pass
-            _offer(exc)
+                if not _offer(mid, issue(batch)):
+                    return
+        except BaseException as exc:  # propagate AFTER in-flight batches
+            # (an upstream decode error must not reorder ahead of data the
+            # consumer is owed; the mid queue preserves order)
+            _offer(mid, exc)
             return
-        _offer(_END)
+        _offer(mid, _END)
 
-    t = threading.Thread(target=worker, daemon=True, name="device-prefetch")
-    t.start()
+    def forcer():
+        while True:
+            item = _take(mid)
+            if item is _END:
+                _offer(q, _END)
+                return
+            if isinstance(item, BaseException):
+                _offer(q, item)
+                return
+            try:
+                out = force(item)
+            except BaseException as exc:
+                _offer(q, exc)
+                return
+            if not _offer(q, out):
+                return
+
+    t_issue = threading.Thread(target=issuer, daemon=True, name="prefetch-issue")
+    t_force = threading.Thread(target=forcer, daemon=True, name="prefetch-force")
+    t_issue.start()
+    t_force.start()
     try:
         while True:
             item = q.get()
@@ -275,10 +294,12 @@ def device_prefetch(iterator, size: int = 2, sharding=None, transfer=None,
     finally:
         stop.set()
         try:
-            while not q.empty():  # unblock a worker parked on a full queue
-                q.get_nowait()
+            for src in (q, mid):
+                while not src.empty():  # unblock threads parked on a full queue
+                    src.get_nowait()
         except BaseException:
             pass  # interpreter teardown can invalidate queue internals
         # wait for an in-flight transfer to land: a daemon thread killed
         # mid-device_get at process exit aborts the runtime's C++ layer
-        t.join(timeout=5.0)
+        t_force.join(timeout=5.0)
+        t_issue.join(timeout=5.0)
