@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from devias_tpu.core.dist import (
     DATA_AXIS, make_mesh, shard_batch, shard_train_state,
@@ -111,6 +112,78 @@ def test_fsdp_shards_ema_too():
     assert tuple(placed.params["b"].sharding.spec) == ()
     # step counter survives untouched
     assert int(placed.step) == 0
+
+
+def _device0_bytes(tree, dev) -> int:
+    """Bytes of `tree` actually resident on `dev` (addressable shard sizes,
+    NOT the logical array sizes — the whole point of FSDP)."""
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        for s in leaf.addressable_shards:
+            if s.device == dev:
+                total += int(np.prod(s.data.shape)) * s.data.dtype.itemsize
+    return total
+
+
+@pytest.mark.slow
+def test_fsdp_full_geometry_memory_and_parity():
+    """The REAL slot ViT-B pytree (depth 12, dim 768, 8 tied agg rounds,
+    400/365-way heads) under FSDP on the 8-device mesh: per-device
+    params+moments bytes < replicated/4, and one training step matches the
+    replicated placement (VERDICT r3 item 6 — the closest this environment
+    gets to multi-chip memory truth; toy-geometry coverage is
+    test_fsdp_matches_replicated_and_stays_sharded above).
+
+    Input is kept tiny (2 frames @ 112px -> 49 tokens) — the memory claim
+    is about the parameter pytree, which is full-size."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh()
+
+    model = create_model(
+        "slot_vit_base_patch16_224", num_classes=400, num_scene_classes=365,
+        num_latents=2, agg_depth=8, agg_weights_tie=True,
+    )
+    teacher = create_model(
+        "vit_base_patch16_224", num_classes=365, use_mean_pooling=False
+    )
+    x = jnp.zeros((1, 2, 112, 112, 3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    tparams = teacher.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    tx, _ = make_optimizer(
+        params, OptimConfig(lr=1e-3, min_lr=1e-3, warmup_lr=1e-3, total_steps=100)
+    )
+    step = jax.jit(make_slot_train_step(
+        model, teacher, tx,
+        SlotLossConfig(num_action_classes=400, num_scene_classes=365),
+        TrainStepConfig(use_fame=False),
+    ))
+    state0 = TrainState.create(params, tx)
+
+    s_repl = shard_train_state(state0, mesh)
+    s_f = shard_train_state(state0, mesh, fsdp=True)
+
+    dev0 = mesh.devices.flatten()[0]
+    repl_bytes = _device0_bytes((s_repl.params, s_repl.opt_state), dev0)
+    fsdp_bytes = _device0_bytes((s_f.params, s_f.opt_state), dev0)
+    assert fsdp_bytes < repl_bytes / 4, (
+        f"fsdp {fsdp_bytes/1e6:.1f} MB vs replicated {repl_bytes/1e6:.1f} MB"
+    )
+
+    rng = np.random.default_rng(11)
+    batch = shard_batch({
+        "videos": jnp.asarray(rng.normal(size=(8, 2, 112, 112, 3)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 400, size=8)),
+    }, mesh)
+    key = jax.random.PRNGKey(0)
+    s_repl, m_r = step(s_repl, tparams, batch, key)
+    s_f, m_f = step(s_f, tparams, batch, key)
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_f["loss"]), rtol=1e-5)
+
+    # sharding survived the jitted step AND the memory saving is steady-state
+    post_bytes = _device0_bytes((s_f.params, s_f.opt_state), dev0)
+    assert post_bytes < repl_bytes / 4, f"post-step {post_bytes/1e6:.1f} MB"
 
 
 def test_fsdp_implies_zero1():
