@@ -5,7 +5,13 @@ slot student fwd/bwd + loss + AdamW), then parses the trace proto/json and
 prints a per-op-family breakdown so the "fusion tail" (VERDICT r2 weak
 item 2) can be attacked with data, not guesses.
 
-Usage: python scripts/profile_step.py [--steps 5] [--out /tmp/prof]
+--segformer swaps FAME for the frozen MiT-B3 mask-model path (the
+'--mask_model Segformer' step bench_segformer.py times; ref
+engine_for_slot.py:108-118) so its 209.6 ms step gets the same
+per-subsystem rollup the FAME step's roofline defense is built on
+(VERDICT r3 item 5).
+
+Usage: python scripts/profile_step.py [--steps 5] [--out /tmp/prof] [--segformer]
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ import re
 import sys
 
 
-def run_and_trace(out_dir: str, steps: int):
+def run_and_trace(out_dir: str, steps: int, segformer: bool = False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
@@ -51,12 +57,25 @@ def run_and_trace(out_dir: str, steps: int):
     tparams = jax.jit(teacher.init)({"params": jax.random.PRNGKey(1)}, x)["params"]
     tx, lr_fn = make_optimizer(params, OptimConfig(lr=5e-4, total_steps=1000, warmup_steps=10))
     state = TrainState.create(params, tx)
+    seg_apply = None
+    if segformer:
+        from devias_tpu.nn.segformer import Segformer, segformer_b3
+
+        seg = Segformer(segformer_b3(), dtype=jnp.bfloat16)
+        sparams = jax.jit(seg.init)(
+            {"params": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 224, 224, 3), jnp.float32),
+        )["params"]
+        seg_apply = lambda frames: seg.apply({"params": sparams}, frames)  # noqa: E731
     step = jax.jit(
         make_slot_train_step(
             model, teacher, tx,
             SlotLossConfig(num_action_classes=400, num_scene_classes=365),
-            TrainStepConfig(use_fame=True, fame=FAMEConfig(beta=0.5, prob_aug=0.8)),
-            lr_fn,
+            TrainStepConfig(
+                use_fame=not segformer,
+                fame=FAMEConfig(beta=0.5, prob_aug=0.8),
+            ),
+            lr_fn, segformer_apply=seg_apply,
         ),
         donate_argnums=(0,),
     )
@@ -167,7 +186,10 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="/tmp/prof_step")
     ap.add_argument("--aggregate_only", action="store_true")
     ap.add_argument("--top", type=int, default=60)
+    ap.add_argument("--segformer", action="store_true",
+                    help="profile the frozen-MiT-B3 mask-model step instead "
+                    "of the FAME step")
     args = ap.parse_args()
     if not args.aggregate_only:
-        run_and_trace(args.out, args.steps)
+        run_and_trace(args.out, args.steps, segformer=args.segformer)
     aggregate(args.out, args.steps, args.top)
