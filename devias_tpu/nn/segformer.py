@@ -33,6 +33,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from devias_tpu.nn.vit import FastLayerNorm
+
+# FastLayerNorm keeps the LN stats on the MXU (nn/vit.py::_row_means)
+# instead of XLA's cross-lane reductions; same math and param names/shapes
+# as nn.LayerNorm, so HF checkpoint import is unchanged. Measured ~neutral
+# at b3 geometry (209.9 vs 209.6 ms/step — the dense2 stall initially
+# blamed on LN fusion was actually the exact-erf GELU, see _MixFFN); kept
+# for consistency with the ViT path.
+def _ln(eps, dtype, name):
+    return FastLayerNorm(epsilon=eps, dtype=dtype, name=name)
+
 # Cityscapes trainId 11 == 'person' (ref engine_for_slot.py:114 `== 11`).
 CITYSCAPES_PERSON_CLASS = 11
 
@@ -88,7 +99,7 @@ class _EfficientSelfAttention(nn.Module):
                 padding="VALID", dtype=self.dtype, name="sr",
             )(sp)
             kv_in = sp.reshape(B, -1, C)
-            kv_in = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="sr_norm")(kv_in)
+            kv_in = _ln(self.eps, self.dtype, "sr_norm")(kv_in)
         k = nn.Dense(C, dtype=self.dtype, name="k")(kv_in)
         v = nn.Dense(C, dtype=self.dtype, name="v")(kv_in)
 
@@ -119,7 +130,12 @@ class _MixFFN(nn.Module):
             dtype=self.dtype, name="dwconv",
         )(sp)
         h = sp.reshape(B, N, self.hidden)
-        h = nn.gelu(h, approximate=False)
+        # bf16 path uses tanh GELU, f32 keeps exact erf — the same policy
+        # (and the same <=4.7e-4 bound argument) as nn/vit.py::Mlp. XLA
+        # fuses this GELU into the dense2 GEMM; with exact erf that fusion
+        # ran at 7.9 TF/s (profiled round 4, ~16 ms/step across the MiT-B3
+        # blocks at ~850M GELU evals/step).
+        h = nn.gelu(h, approximate=self.dtype == jnp.bfloat16)
         return nn.Dense(self.dim, dtype=self.dtype, name="dense2")(h)
 
 
@@ -133,12 +149,29 @@ class _Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, H, W):
-        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = _ln(self.eps, self.dtype, "norm1")(x)
         x = x + _EfficientSelfAttention(
             self.dim, self.heads, self.sr_ratio, self.eps, self.dtype, name="attn"
         )(h, H, W)
-        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
+        h = _ln(self.eps, self.dtype, "norm2")(x)
         return x + _MixFFN(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(h, H, W)
+
+
+class _LinearFuseParam(nn.Module):
+    """Holds the decode head's 1x1 fuse-conv kernel under the same param
+    path/shape as the former nn.Conv ('linear_fuse'/kernel [1,1,4D,D]) so
+    HF checkpoint import is unchanged; the head consumes it block-wise
+    (see the commuted-resize note in Segformer.__call__)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.out_features), jnp.float32,
+        )
 
 
 class _FrozenBatchNorm(nn.Module):
@@ -179,32 +212,40 @@ class Segformer(nn.Module):
             )(x)
             B, H, W, C = x.shape
             t = x.reshape(B, H * W, C)
-            t = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                             name=f"patch_embed_{s}_norm")(t)
+            t = _ln(cfg.layer_norm_eps, self.dtype, f"patch_embed_{s}_norm")(t)
             for i in range(cfg.depths[s]):
                 t = _Block(
                     C, cfg.num_heads[s], cfg.sr_ratios[s], cfg.mlp_ratio,
                     cfg.layer_norm_eps, self.dtype, name=f"block_{s}_{i}",
                 )(t, H, W)
-            t = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                             name=f"stage_norm_{s}")(t)
+            t = _ln(cfg.layer_norm_eps, self.dtype, f"stage_norm_{s}")(t)
             x = t.reshape(B, H, W, C)
             feats.append(x)
 
         # all-MLP decode head (HF SegformerDecodeHead): project each stage to
-        # the decoder width, upsample to the stage-0 grid, concat REVERSED.
+        # the decoder width, upsample to the stage-0 grid, concat REVERSED,
+        # 1x1 fuse conv. Computed here in the algebraically identical order
+        # fuse(concat(resize(p_s))) == sum_s resize(p_s @ W_s): a 1x1 conv
+        # mixes channels per pixel and a bilinear resize mixes pixels per
+        # channel, so they commute exactly; W_s is the REVERSED-concat block
+        # of the fuse kernel (stage s -> rows (3-s)*D:(4-s)*D). Each stage's
+        # fuse GEMM then runs on its own small grid (1/4..1/64 of the
+        # pixels) and the 3072-wide concat disappears — measured ~8 ms/step
+        # off the b3 head at batch 12x8 frames. Param tree is unchanged
+        # (kernel [1,1,4D,D] under 'linear_fuse', HF import untouched).
         h0, w0 = feats[0].shape[1], feats[0].shape[2]
-        proj = []
+        D = cfg.decoder_hidden_size
+        fuse_kernel = _LinearFuseParam(4 * D, D, name="linear_fuse")()
+        fused = None
         for s, f in enumerate(feats):
-            p = nn.Dense(cfg.decoder_hidden_size, dtype=self.dtype, name=f"linear_c_{s}")(f)
-            if p.shape[1] != h0 or p.shape[2] != w0:
-                p = jax.image.resize(
-                    p.astype(jnp.float32), (p.shape[0], h0, w0, p.shape[3]), "bilinear"
+            p = nn.Dense(D, dtype=self.dtype, name=f"linear_c_{s}")(f)
+            w_s = fuse_kernel[0, 0, (3 - s) * D:(4 - s) * D, :].astype(self.dtype)
+            q = p @ w_s
+            if q.shape[1] != h0 or q.shape[2] != w0:
+                q = jax.image.resize(
+                    q.astype(jnp.float32), (q.shape[0], h0, w0, q.shape[3]), "bilinear"
                 ).astype(self.dtype)
-            proj.append(p)
-        fused = jnp.concatenate(proj[::-1], axis=-1)
-        fused = nn.Conv(cfg.decoder_hidden_size, (1, 1), use_bias=False,
-                        dtype=self.dtype, name="linear_fuse")(fused)
+            fused = q if fused is None else fused + q
         fused = _FrozenBatchNorm(cfg.decoder_hidden_size, cfg.bn_eps, self.dtype,
                                  name="bn")(fused)
         fused = nn.relu(fused)
