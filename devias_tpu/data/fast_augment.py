@@ -201,6 +201,10 @@ _SMOOTH_KERNEL = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
 
 
 def sharpness(clip: np.ndarray, f: float) -> np.ndarray:
+    if NA.available() and NA.has_sharpness():
+        # exact Pillow semantics (truncating blend); the cv2 path below
+        # ROUNDS via addWeighted, hence its looser q99<=2 parity bound
+        return NA.sharpness_blend(clip, f)
     out = np.empty_like(clip)
     for t in range(clip.shape[0]):
         smooth = cv2.filter2D(clip[t], -1, _SMOOTH_KERNEL, borderType=cv2.BORDER_REPLICATE)

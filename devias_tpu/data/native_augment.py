@@ -25,6 +25,7 @@ import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _SEARCHED = False
+_HAS_SHARPNESS = False
 
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -64,6 +65,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.devias_hist.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64, _u32p]
     lib.devias_lut.argtypes = [_u8p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64]
     lib.devias_color.argtypes = [_u8p, _u8p, ctypes.c_int64, ctypes.c_double]
+    global _HAS_SHARPNESS
+    try:  # older committed .so may predate the symbol
+        lib.devias_sharpness.argtypes = [
+            _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double,
+        ]
+        _HAS_SHARPNESS = True
+    except AttributeError:
+        _HAS_SHARPNESS = False
     for f in (lib.devias_warp_x, lib.devias_warp_y):
         f.argtypes = [
             _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -124,6 +134,22 @@ def lut_per_frame(clip: np.ndarray, luts: np.ndarray) -> np.ndarray:
         _p(clip, _u8p), _p(luts, _u8p), _p(out, _u8p),
         clip.shape[0], clip[0].size // 3,
     )
+    return out
+
+
+def has_sharpness() -> bool:
+    return _load() is not None and _HAS_SHARPNESS
+
+
+def sharpness_blend(clip: np.ndarray, f: float) -> np.ndarray:
+    """Fused PIL Sharpness: blend(SMOOTH(clip), clip, f), exact Pillow
+    semantics (truncating blend, floor(conv/13 + 0.5) filter, untouched
+    1-px border)."""
+    lib = _load()
+    clip = _c(clip)
+    t, h, w, _ = clip.shape
+    out = np.empty_like(clip)
+    lib.devias_sharpness(_p(clip, _u8p), _p(out, _u8p), t, h, w, float(f))
     return out
 
 

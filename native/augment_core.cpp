@@ -100,6 +100,45 @@ void devias_color(const uint8_t* clip, uint8_t* out, int64_t npx, double f) {
   }
 }
 
+// ---- fused Sharpness: blend(SMOOTH(clip), clip, f) ------------------------
+// PIL ImageEnhance.Sharpness semantics, verified exact against Pillow:
+//   * ImageFilter.SMOOTH: 3x3 kernel [[1,1,1],[1,5,1],[1,1,1]]/13, rounded
+//     floor(v + 0.5) (== (2*conv + 13) / 26 in integers), 1-px border left
+//     untouched
+//   * Image.blend TRUNCATES: out = (uint8)(s + (p - s) * f), clipped to
+//     [0, 255] only on the extrapolation path (f outside [0, 1]) — Pillow
+//     Blend.c casts without rounding in both paths
+// The border blends to the original exactly (blend(p, p, f) == p), so the
+// frame is copied first and only the interior is recomputed. Replaces the
+// python fast path's cv2.filter2D + 4 border fixups + cv2.addWeighted
+// (3 passes; addWeighted also ROUNDS where PIL truncates).
+void devias_sharpness(const uint8_t* in, uint8_t* out, int64_t t, int64_t h,
+                      int64_t w, double f) {
+  const float ff = (float)f;
+  const int64_t stride = w * 3;
+  for (int64_t fr = 0; fr < t; ++fr) {
+    const uint8_t* fin = in + fr * h * stride;
+    uint8_t* fout = out + fr * h * stride;
+    memcpy(fout, fin, (size_t)h * stride);
+    for (int64_t y = 1; y + 1 < h; ++y) {
+      const uint8_t* r0 = fin + (y - 1) * stride;
+      const uint8_t* r1 = fin + y * stride;
+      const uint8_t* r2 = fin + (y + 1) * stride;
+      uint8_t* o = fout + y * stride;
+      for (int64_t j = 3; j + 3 < stride; ++j) {
+        const uint32_t conv =
+            (uint32_t)r0[j - 3] + r0[j] + r0[j + 3] +
+            (uint32_t)r1[j - 3] + 5u * r1[j] + r1[j + 3] +
+            (uint32_t)r2[j - 3] + r2[j] + r2[j + 3];
+        const float sm = (float)((2u * conv + 13u) / 26u);
+        const float v = sm + ((float)r1[j] - sm) * ff;
+        const int iv = (int)v;  // trunc toward zero, like Pillow's cast
+        o[j] = (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
+      }
+    }
+  }
+}
+
 // ---- 1-D inverse-map warps ------------------------------------------------
 // Inverse-map convention (cv2 WARP_INVERSE_MAP / PIL Image.transform):
 // output (x, y) samples input at the mapped coordinate. For the x-warp the

@@ -80,6 +80,27 @@ def test_color_within_blend_rounding(clip):
         assert d.max() <= 1, (f, d.max())
 
 
+def test_sharpness_exact_vs_pil(clip):
+    """The fused native Sharpness matches Pillow EXACTLY (the cv2 fast
+    path is only within q99<=2: addWeighted rounds where PIL truncates).
+    Covers interpolation (f<1), identity, and extrapolation (f>1) blends,
+    plus a tiny frame where the whole image is untouched border."""
+    from PIL import Image, ImageEnhance
+
+    if not NA.has_sharpness():
+        pytest.skip("libdevias_augment.so predates devias_sharpness")
+    for f in (0.0, 0.4, 1.0, 1.05, 1.6, 1.9):
+        nat = NA.sharpness_blend(clip, f)
+        pil = np.stack([
+            np.asarray(ImageEnhance.Sharpness(Image.fromarray(fr)).enhance(f))
+            for fr in clip
+        ])
+        np.testing.assert_array_equal(nat, pil, err_msg=str(f))
+    tiny = np.ascontiguousarray(clip[:2, :2, :5])
+    nat = NA.sharpness_blend(tiny, 1.6)
+    np.testing.assert_array_equal(nat, tiny)
+
+
 @pytest.mark.parametrize("name,arg", [
     ("ShearX", 0.2), ("ShearY", -0.2),
     ("TranslateXRel", 0.15), ("TranslateYRel", -0.15),
