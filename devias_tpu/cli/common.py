@@ -141,6 +141,13 @@ def build_shared_parser(description: str) -> argparse.ArgumentParser:
                    help="devias_tpu extension: GPipe microbatches per "
                         "micro-step under --pp_stages (>= 4x stages keeps "
                         "the pipeline bubble under ~20%%)")
+    p.add_argument("--sp_shards", default=1, type=int,
+                   help="devias_tpu extension: sequence-parallel shards — "
+                        "the backbone's frame/token axis splits over a "
+                        "(data, seq) mesh (attention all_gathers K/V over "
+                        "the axis; per-shard rng keeps dropout/drop_path "
+                        "correct); agg/heads/loss run on the full token "
+                        "tensor. Requires frames %% (shards x tubelet) == 0")
     p.add_argument("--profile_dir", default="", type=str,
                    help="devias_tpu extension: capture a jax.profiler trace "
                         "of a few steps of the first epoch into this dir")

@@ -158,11 +158,18 @@ def main(args=None):
     maybe_init_distributed()  # multi-host; MUST precede any backend use
     # rank-offset seeding (ref run_slot_finetuning.py:261-265)
     np.random.seed(args.seed + jax.process_index())
+    if getattr(args, "pp_stages", 1) > 1 and getattr(args, "sp_shards", 1) > 1:
+        raise ValueError("--pp_stages and --sp_shards are mutually exclusive")
     if getattr(args, "pp_stages", 1) > 1:
         # (data, pipe) mesh: backbone pipeline-parallel, batch over data
         from devias_tpu.core.pipeline import make_pp_mesh
 
         mesh = make_pp_mesh(args.pp_stages)
+    elif getattr(args, "sp_shards", 1) > 1:
+        # (data, seq) mesh: backbone sequence-parallel, batch over data
+        from devias_tpu.core.dist import make_sp_mesh
+
+        mesh = make_sp_mesh(args.sp_shards)
     else:
         mesh = make_mesh()
     rank, world = jax.process_index(), jax.process_count()
@@ -279,6 +286,7 @@ def main(args=None):
             model, teacher, tx, loss_cfg, step_cfg, lr_fn,
             segformer_apply=segformer_apply,
             pp_mesh=mesh if args.pp_stages > 1 else None,
+            sp_mesh=mesh if getattr(args, "sp_shards", 1) > 1 else None,
         ),
         donate_argnums=(0,),
     )

@@ -130,6 +130,7 @@ def make_slot_train_step(
     lr_fn: Optional[Callable] = None,
     segformer_apply: Optional[Callable] = None,
     pp_mesh=None,
+    sp_mesh=None,
 ):
     """DEVIAS slot training step (ref engine/engine_for_slot.py:50-169).
 
@@ -148,14 +149,35 @@ def make_slot_train_step(
     token tensor (replicated over pipe, sharded over data). Microbatch
     count comes from step_cfg.pp_microbatches. The frozen teacher forward
     stays outside the pipe (GSPMD replicates it over the pipe axis).
+
+    sp_mesh: a (data, seq) Mesh (core/dist.py::make_sp_mesh) selects
+    sequence-parallel training instead: the backbone's frame/token axis is
+    sharded over seq (attention all_gathers K/V; dropout/drop_path rng is
+    derived per shard), and the agg block / heads / loss run on the full
+    token tensor. Mutually exclusive with pp_mesh.
     """
     U = step_cfg.update_freq
+    if pp_mesh is not None and sp_mesh is not None:
+        raise ValueError("pp_mesh and sp_mesh are mutually exclusive")
     pp_backbone = None
     if pp_mesh is not None:
         from devias_tpu.core.pipeline import pipeline_tokens
         from devias_tpu.nn.vit import VideoViT
 
         pp_backbone = VideoViT(**model.backbone_kwargs())
+    sp_backbone = None
+    if sp_mesh is not None:
+        # sequence-parallel backbone (beyond reference parity): frame axis
+        # sharded over the mesh's seq axis, attention K/V all_gathered,
+        # per-shard rng streams (core/dist.py::seq_parallel_tokens);
+        # agg/heads/loss consume the full token tensor like the PP path
+        from devias_tpu.core.dist import SEQ_AXIS, seq_parallel_tokens
+        from devias_tpu.nn.vit import VideoViT
+
+        sp_backbone = VideoViT(
+            **model.backbone_kwargs(),
+            seq_axis=SEQ_AXIS, seq_shards=sp_mesh.shape[SEQ_AXIS],
+        )
 
     def micro_loss(params, teacher_params, videos, labels, rng):
         fame_rng, drop_rng, dp_rng = jax.random.split(rng, 3)
@@ -227,6 +249,12 @@ def make_slot_train_step(
                 pp_backbone, params["backbone"], videos, pp_mesh,
                 n_micro=step_cfg.pp_microbatches,
                 deterministic=False, rng=pp_rng,
+            )
+        elif sp_backbone is not None:
+            sp_rng = jax.random.fold_in(drop_rng, 2)
+            tokens = seq_parallel_tokens(
+                sp_backbone, params["backbone"], videos, sp_mesh,
+                deterministic=False, rng=sp_rng,
             )
         student = model.apply(
             {"params": params},

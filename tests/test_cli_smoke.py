@@ -68,6 +68,26 @@ def test_run_slot_finetuning_train_pp(filelists, tmp_path):
     assert os.path.exists(tmp_path / "log.txt")
 
 
+def test_run_slot_finetuning_train_sp(filelists, tmp_path):
+    """--sp_shards: the full slot step (backbone sequence-parallel with
+    per-shard rng, agg/heads/loss on full tokens) trains through the CLI
+    WITH the published stochastic regularization (drop_path). Exactness vs
+    unsharded is covered by tests/test_sp_full_step.py."""
+    from devias_tpu.cli.run_slot_finetuning import get_args, main
+
+    base = [a for a in BASE]
+    base[base.index("--drop_path") + 1] = "0.2"
+    args = get_args(base + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--num_latents", "2", "--agg_depth", "2",
+        "--agg_weights_tie", "--mask_model", "FAME", "--beta", "0.25",
+        "--sp_shards", "2",
+        "--output_dir", str(tmp_path),
+    ])
+    main(args)
+    assert os.path.exists(tmp_path / "log.txt")
+
+
 def test_run_slot_finetuning_eval(filelists, tmp_path):
     from devias_tpu.cli.run_slot_finetuning import get_args, main
 
