@@ -141,6 +141,14 @@ def build_shared_parser(description: str) -> argparse.ArgumentParser:
                    help="devias_tpu extension: GPipe microbatches per "
                         "micro-step under --pp_stages (>= 4x stages keeps "
                         "the pipeline bubble under ~20%%)")
+    p.add_argument("--tp_size", default=1, type=int,
+                   help="devias_tpu extension: Megatron-style tensor-"
+                        "parallel size — column-parallel QKV/MLP-up and "
+                        "row-parallel proj/MLP-down shard over a "
+                        "(data, model) mesh (params, EMA, and AdamW "
+                        "moments placed by core/dist.py::tp_param_spec; "
+                        "GSPMD inserts the all-reduces in the unchanged "
+                        "train step)")
     p.add_argument("--sp_shards", default=1, type=int,
                    help="devias_tpu extension: sequence-parallel shards — "
                         "the backbone's frame/token axis splits over a "
@@ -222,6 +230,7 @@ def run_train_loop(
         state, mesh,
         zero1=bool(getattr(args, "zero1", False)),
         fsdp=bool(getattr(args, "fsdp", False)),
+        tp=getattr(args, "tp_size", 1) > 1,
     )
 
     metrics = {}

@@ -158,8 +158,14 @@ def main(args=None):
     maybe_init_distributed()  # multi-host; MUST precede any backend use
     # rank-offset seeding (ref run_slot_finetuning.py:261-265)
     np.random.seed(args.seed + jax.process_index())
-    if getattr(args, "pp_stages", 1) > 1 and getattr(args, "sp_shards", 1) > 1:
-        raise ValueError("--pp_stages and --sp_shards are mutually exclusive")
+    mp_flags = [
+        ("--pp_stages", getattr(args, "pp_stages", 1)),
+        ("--sp_shards", getattr(args, "sp_shards", 1)),
+        ("--tp_size", getattr(args, "tp_size", 1)),
+    ]
+    active = [f for f, v in mp_flags if v > 1]
+    if len(active) > 1:
+        raise ValueError(f"{' and '.join(active)} are mutually exclusive")
     if getattr(args, "pp_stages", 1) > 1:
         # (data, pipe) mesh: backbone pipeline-parallel, batch over data
         from devias_tpu.core.pipeline import make_pp_mesh
@@ -170,6 +176,10 @@ def main(args=None):
         from devias_tpu.core.dist import make_sp_mesh
 
         mesh = make_sp_mesh(args.sp_shards)
+    elif getattr(args, "tp_size", 1) > 1:
+        # (data, model) mesh: Megatron-style TP param placement; the step
+        # itself is unchanged (GSPMD derives the all-reduces)
+        mesh = make_mesh(model_parallel=args.tp_size)
     else:
         mesh = make_mesh()
     rank, world = jax.process_index(), jax.process_count()

@@ -148,7 +148,8 @@ def jnp_issubdtype_inexact(leaf) -> bool:
     return jnp.issubdtype(leaf.dtype, jnp.inexact)
 
 
-def shard_train_state(state, mesh: Mesh, zero1: bool = False, fsdp: bool = False):
+def shard_train_state(state, mesh: Mesh, zero1: bool = False, fsdp: bool = False,
+                      tp: bool = False):
     """Place a TrainState on the mesh: params (and EMA) replicated; with
     zero1=True the optimizer moment leaves (AdamW mu/nu — 2x the params in
     f32, the largest replicated buffers in a DP run) are sharded over the
@@ -164,7 +165,27 @@ def shard_train_state(state, mesh: Mesh, zero1: bool = False, fsdp: bool = False
     between steps (ZeRO-3), cutting params+moments memory per chip by the
     data-axis size. Sharding propagates through the jitted step, so the
     placement STAYS sharded across steps (asserted by tests/test_zero1.py
-    and tests/test_fsdp.py)."""
+    and tests/test_fsdp.py).
+
+    With tp=True the params, EMA, AND the AdamW moments get Megatron-style
+    tensor-parallel placements over the model axis instead
+    (tp_param_spec keys on trailing path segments, so moment leaves — the
+    param pytree nested inside optax's state — shard identically to their
+    params); GSPMD inserts the row/column-parallel all-reduces in the
+    unchanged train step. Mutually exclusive with zero1/fsdp.
+    """
+    if tp:
+        if zero1 or fsdp:
+            raise ValueError("tp placement with zero1/fsdp is not supported")
+
+        def place_tp(path, leaf):
+            if not hasattr(leaf, "ndim"):
+                return leaf
+            return jax.device_put(
+                leaf, NamedSharding(mesh, tp_param_spec(path, leaf))
+            )
+
+        return jax.tree_util.tree_map_with_path(place_tp, state)
     n_data = mesh.shape[DATA_AXIS]
     zero1 = zero1 or fsdp
 

@@ -88,6 +88,24 @@ def test_run_slot_finetuning_train_sp(filelists, tmp_path):
     assert os.path.exists(tmp_path / "log.txt")
 
 
+def test_run_slot_finetuning_train_tp(filelists, tmp_path):
+    """--tp_size: Megatron-style TP param placement (column-parallel
+    QKV/MLP-up, row-parallel proj/MLP-down) trains the full slot step
+    through the CLI. Exactness vs unsharded is covered by
+    tests/test_tp_full_step.py."""
+    from devias_tpu.cli.run_slot_finetuning import get_args, main
+
+    args = get_args(BASE + [
+        "--data_path", filelists["plain"], "--data_set", "UCF101",
+        "--nb_classes", "5", "--num_latents", "2", "--agg_depth", "2",
+        "--agg_weights_tie", "--mask_model", "FAME", "--beta", "0.25",
+        "--tp_size", "2",
+        "--output_dir", str(tmp_path),
+    ])
+    main(args)
+    assert os.path.exists(tmp_path / "log.txt")
+
+
 def test_run_slot_finetuning_eval(filelists, tmp_path):
     from devias_tpu.cli.run_slot_finetuning import get_args, main
 
