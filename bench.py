@@ -187,7 +187,7 @@ def main():
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_pipeline.py"),
              "--batches", "3"],
-            timeout=240, capture_output=True, text=True,
+            timeout=330, capture_output=True, text=True,
         )
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):
@@ -195,7 +195,10 @@ def main():
                 result["host_clips_per_sec"] = pipe.get("host_clips_per_sec")
                 result["e2e_clips_per_sec"] = pipe.get("e2e_clips_per_sec")
                 result["e2e_vs_bound"] = pipe.get("e2e_vs_bound")
-                result["e2e_cpu_frac"] = pipe.get("e2e_cpu_frac")
+                result["bound_clips_per_sec"] = pipe.get("bound_clips_per_sec")
+                result["transfer_clips_per_sec"] = pipe.get("transfer_clips_per_sec")
+                result["cpu_bound_clips_per_sec"] = pipe.get("cpu_bound_clips_per_sec")
+                result["e2e_sys_cpu_frac"] = pipe.get("e2e_sys_cpu_frac")
                 result["host_cores"] = pipe.get("host_cores")
                 break
     except Exception:
@@ -216,7 +219,7 @@ def main():
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_pipeline.py"),
              "--mode", "eval", "--batches", "3"],
-            timeout=240, capture_output=True, text=True,
+            timeout=330, capture_output=True, text=True,
         )
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):

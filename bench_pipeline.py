@@ -29,8 +29,16 @@ itself says which stage bound it:
   stage_transfer_MBps   — wire rate of the forced uploads
   stage_consumer_wait_s — consumer blocked waiting for a resident batch
   stage_dispatch_s      — train-step dispatch (async; ~0 when healthy)
-  bound_clips_per_sec   — min(host, transfer, device) standalone rates:
-                          what a perfectly overlapped pipeline would reach
+  cpu_host/transfer/device_s_per_clip — SYSTEM-wide CPU (all processes,
+                          /proc/stat — the relay tunnel serializes uploads
+                          in a separate process whose CPU process_time
+                          can't see) burned per clip by each solo stage
+  cpu_bound_clips_per_sec — host_cores / sum(cpu per clip): stages overlap
+                          wall-clock but their CPU is additive on a shared
+                          core; this is the pipeline law bound a 1-core
+                          host obeys no matter how perfect the overlap
+  bound_clips_per_sec   — min(host, transfer, device, cpu_bound): what a
+                          perfectly overlapped pipeline can reach here
   e2e_vs_bound          — e2e / bound
 
 The reference pipeline is decord + PIL/torchvision on many dataloader
@@ -73,6 +81,18 @@ def make_videos(root: str, n: int = 12, w: int = 320, h: int = 256, frames: int 
         vw.release()
         rows.append(f"{name} {i % 4}")
     return rows
+
+
+def _sys_busy_s() -> float:
+    """System-wide busy CPU seconds since boot (all processes). The axon
+    relay tunnel runs out-of-process; its upload-serialization CPU is
+    invisible to time.process_time but competes for the same core."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except OSError:
+        return 0.0
+    return (sum(vals) - vals[3] - vals[4]) / 100.0  # minus idle+iowait
 
 
 def main():
@@ -127,7 +147,10 @@ def main():
     n_clips = args.batches * B
 
     with tempfile.TemporaryDirectory() as root:
-        rows = make_videos(root, n=24)
+        # enough clips that the measured window spans ~2 epoch boundaries,
+        # not 9 — boundary churn (sampler reshuffle, producer restart) is
+        # real but must not dominate a steady-state figure
+        rows = make_videos(root, n=72)
         anno = os.path.join(root, "train.csv")
         with open(anno, "w") as f:
             f.write("\n".join(rows))
@@ -163,13 +186,14 @@ def main():
 
         # --- host-only rate (decode + augment, nothing device-side) ---
         it = fresh_loader()
-        next(it)  # warm caches (file index, first decode)
-        t0 = time.perf_counter()
+        sample = next(it)  # warm caches (file index, first decode)
+        t0, b0 = time.perf_counter(), _sys_busy_s()
         seen = 0
         while seen < n_clips:
             b = next(it)
             seen += b["videos"].shape[0]
         host_dt = time.perf_counter() - t0
+        cpu_host = (_sys_busy_s() - b0) / n_clips
         host_rate = n_clips / host_dt
 
         # --- model + step (flagship geometry) ---
@@ -239,19 +263,37 @@ def main():
         for _ in range(3):
             run_batch(pre)
         drain()
-        t0 = time.perf_counter()
+        t0, b0 = time.perf_counter(), _sys_busy_s()
         for _ in range(args.batches):
             run_batch(pre)
         drain()
         dev_rate = n_clips / (time.perf_counter() - t0)
+        cpu_dev = (_sys_busy_s() - b0) / n_clips
 
-        # --- end-to-end: loader -> prefetch -> step, instrumented ---
+        # --- transfer-only rate (solo window; the in-overlap medians below
+        # are contention-tinted on a 1-core host) ---
         from devias_tpu.data.loader import make_default_transfer
 
+        issue0, force0 = make_default_transfer(None)
+        host_batch = {k: np.asarray(v) for k, v in sample.items()
+                      if hasattr(v, "shape")}
+        force0(issue0(host_batch))  # warm
+        n_xfer = 6
+        t0, b0 = time.perf_counter(), _sys_busy_s()
+        pending = []
+        for _ in range(n_xfer):
+            pending.append(issue0(host_batch))
+            if len(pending) >= args.inflight:
+                force0(pending.pop(0))
+        while pending:
+            force0(pending.pop(0))
+        solo_xfer_rate = n_xfer * B / (time.perf_counter() - t0)
+        cpu_xfer = (_sys_busy_s() - b0) / (n_xfer * B)
+
+        # --- end-to-end: loader -> prefetch -> step, instrumented ---
         stats = {k: [] for k in
                  ("host_wait", "issue", "force", "bytes", "consumer_wait",
                   "dispatch")}
-        issue0, force0 = make_default_transfer(None)
 
         def timed_issue(b):
             stats["bytes"].append(
@@ -293,6 +335,7 @@ def main():
         n_meas = max(args.batches, 8)
         ts = []
         cpu0 = time.process_time()  # re-captured at the window start below
+        busy0 = _sys_busy_s()
         for i in range(n_trim + n_meas):
             t0 = time.perf_counter()
             batch = next(it)
@@ -306,8 +349,10 @@ def main():
             ts.append(time.perf_counter())
             if i == n_trim - 1:
                 cpu0 = time.process_time()
+                busy0 = _sys_busy_s()
         drain()  # drain the last dispatched train step (eval fetches inline)
         e2e_wall = time.perf_counter() - ts[n_trim - 1]
+        e2e_sys_busy = _sys_busy_s() - busy0
         # whole-process CPU over the window: ~1.0 x host cores means the
         # overlapped pipeline is CPU-saturated (decode + augment + the
         # relay client's upload serialization/TLS share the same cores) —
@@ -326,8 +371,15 @@ def main():
 
     med = lambda v: round(float(np.median(v)), 4) if v else None
     xfer_s = [a + b for a, b in zip(stats["issue"], stats["force"])]
-    xfer_rate = B / np.median(xfer_s) if xfer_s else float("inf")
-    bound = min(host_rate, dev_rate, xfer_rate)
+    xfer_rate = solo_xfer_rate
+    cores = os.cpu_count() or 1
+    # pipeline law on a shared host: stages overlap in wall-clock but their
+    # CPU is strictly additive — the cores can't run the decoder and the
+    # tunnel's upload serializer at once. On multi-core production hosts
+    # this term is huge and the stage minimum governs.
+    cpu_per_clip = cpu_host + cpu_xfer + cpu_dev
+    cpu_bound = cores / cpu_per_clip if cpu_per_clip > 0 else float("inf")
+    bound = min(host_rate, dev_rate, xfer_rate, cpu_bound)
     print(
         json.dumps(
             {
@@ -342,7 +394,13 @@ def main():
                 "e2e_clips_per_sec": round(e2e_rate, 2),
                 "bound_clips_per_sec": round(bound, 2),
                 "e2e_vs_bound": round(e2e_rate / bound, 3),
+                "cpu_bound_clips_per_sec": round(cpu_bound, 2),
+                "cpu_host_s_per_clip": round(cpu_host, 4),
+                "cpu_transfer_s_per_clip": round(cpu_xfer, 4),
+                "cpu_device_s_per_clip": round(cpu_dev, 4),
                 "e2e_cpu_frac": round(e2e_cpu_frac, 3),
+                "e2e_sys_cpu_frac": round(
+                    e2e_sys_busy / e2e_wall / cores, 3),
                 "stage_host_wait_s": med(stats["host_wait"]),
                 "stage_issue_s": med(stats["issue"]),
                 "stage_force_s": med(stats["force"]),

@@ -79,6 +79,7 @@ class DataLoader:
         self.num_shards = num_shards
         self.pad_shards = shuffle if pad_shards is None else pad_shards
         self.epoch = 0
+        self._pool: Optional[ThreadPoolExecutor] = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -105,23 +106,32 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # one worker pool for the loader's lifetime: epoch boundaries reuse
+        # it instead of tearing down and respawning worker threads each
+        # __iter__ (real training crosses epochs every few seconds on small
+        # datasets; the churn serializes against the transfer/step threads)
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                self.num_workers, thread_name_prefix="loader-worker"
+            )
+        pool = self._pool
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                # pipeline: submit per-sample fetches, collate in order
-                futures = [
-                    [pool.submit(self.dataset.__getitem__, int(i)) for i in b]
-                    for b in batches
-                ]
-                for fb in futures:
-                    if stop.is_set():
-                        for f in fb:
-                            f.cancel()
-                        continue
-                    try:
-                        q.put(_collate([f.result() for f in fb]))
-                    except Exception as exc:  # propagate to consumer
-                        q.put(exc)
-                        break
+            # pipeline: submit per-sample fetches, collate in order
+            futures = [
+                [pool.submit(self.dataset.__getitem__, int(i)) for i in b]
+                for b in batches
+            ]
+            for fb in futures:
+                if stop.is_set():
+                    for f in fb:
+                        f.cancel()
+                    continue
+                try:
+                    q.put(_collate([f.result() for f in fb]))
+                except Exception as exc:  # propagate to consumer
+                    q.put(exc)
+                    break
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
