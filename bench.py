@@ -183,24 +183,37 @@ def main():
         import subprocess
         import sys
 
-        out = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_pipeline.py"),
-             "--batches", "3"],
-            timeout=330, capture_output=True, text=True,
-        )
-        for line in reversed(out.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                pipe = json.loads(line)
-                result["host_clips_per_sec"] = pipe.get("host_clips_per_sec")
-                result["e2e_clips_per_sec"] = pipe.get("e2e_clips_per_sec")
-                result["e2e_vs_bound"] = pipe.get("e2e_vs_bound")
-                result["bound_clips_per_sec"] = pipe.get("bound_clips_per_sec")
-                result["transfer_clips_per_sec"] = pipe.get("transfer_clips_per_sec")
-                result["cpu_bound_clips_per_sec"] = pipe.get("cpu_bound_clips_per_sec")
-                result["e2e_sys_cpu_frac"] = pipe.get("e2e_sys_cpu_frac")
-                result["host_cores"] = pipe.get("host_cores")
+        # a degraded relay can stall one attempt past any reasonable
+        # timeout (observed: 42 s of CPU in 500 s of wall); retry once
+        # with a smaller window rather than drop the pipeline fields
+        # from the artifact of record
+        pipe = None
+        for attempt_timeout, batches in ((330, "3"), (300, "2")):
+            try:
+                out = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "bench_pipeline.py"),
+                     "--batches", batches],
+                    timeout=attempt_timeout, capture_output=True, text=True,
+                )
+            except subprocess.TimeoutExpired:
+                continue
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    pipe = json.loads(line)
+                    break
+            if pipe is not None:
                 break
+        if pipe is not None:
+            result["host_clips_per_sec"] = pipe.get("host_clips_per_sec")
+            result["e2e_clips_per_sec"] = pipe.get("e2e_clips_per_sec")
+            result["e2e_vs_bound"] = pipe.get("e2e_vs_bound")
+            result["bound_clips_per_sec"] = pipe.get("bound_clips_per_sec")
+            result["transfer_clips_per_sec"] = pipe.get("transfer_clips_per_sec")
+            result["cpu_bound_clips_per_sec"] = pipe.get("cpu_bound_clips_per_sec")
+            result["e2e_sys_cpu_frac"] = pipe.get("e2e_sys_cpu_frac")
+            result["host_cores"] = pipe.get("host_cores")
     except Exception:
         pass
     # best-effort SERVING pipeline figure (decode -> val transform ->

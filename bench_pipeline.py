@@ -56,10 +56,21 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _mark(section: str) -> None:
+    """Stderr progress stamp: when the relay is degraded a caller timeout
+    (bench.py gives each sub-bench 330 s) kills this process mid-run; the
+    stamps make the truncated artifact say which section ate the budget."""
+    print(f"# bench_pipeline +{time.perf_counter() - _T0:.1f}s {section}",
+          file=sys.stderr, flush=True)
 
 
 def make_videos(root: str, n: int = 12, w: int = 320, h: int = 256, frames: int = 90):
@@ -131,6 +142,13 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    # the axon TPU tunnel occasionally drops for minutes (see bench.py's
+    # _await_backend); probe it with backoff before the timed sections so a
+    # flap shows up as a delay, not a hang past the caller's timeout
+    from bench import _await_backend
+
+    _await_backend(max_wait_s=240.0)
     import jax.numpy as jnp
 
     from devias_tpu.aug.fame import FAMEConfig
@@ -150,6 +168,7 @@ def main():
         # enough clips that the measured window spans ~2 epoch boundaries,
         # not 9 — boundary churn (sampler reshuffle, producer restart) is
         # real but must not dominate a steady-state figure
+        _mark("make_videos")
         rows = make_videos(root, n=72)
         anno = os.path.join(root, "train.csv")
         with open(anno, "w") as f:
@@ -193,6 +212,7 @@ def main():
             b = next(it)
             seen += b["videos"].shape[0]
         host_dt = time.perf_counter() - t0
+        _mark("host window done")
         cpu_host = (_sys_busy_s() - b0) / n_clips
         host_rate = n_clips / host_dt
 
@@ -204,6 +224,7 @@ def main():
             input_norm=args.device_normalize,
         )
         x0 = jnp.zeros((B, 16, args.input, args.input, 3), jnp.float32)
+        _mark("compiling model/step")
         params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x0)["params"]
         if eval_mode:
             # the per-batch protocol step: deterministic forward + logits
@@ -268,6 +289,7 @@ def main():
             run_batch(pre)
         drain()
         dev_rate = n_clips / (time.perf_counter() - t0)
+        _mark("device window done")
         cpu_dev = (_sys_busy_s() - b0) / n_clips
 
         # --- transfer-only rate (solo window; the in-overlap medians below
@@ -288,6 +310,7 @@ def main():
         while pending:
             force0(pending.pop(0))
         solo_xfer_rate = n_xfer * B / (time.perf_counter() - t0)
+        _mark("transfer window done")
         cpu_xfer = (_sys_busy_s() - b0) / (n_xfer * B)
 
         # --- end-to-end: loader -> prefetch -> step, instrumented ---
@@ -352,6 +375,7 @@ def main():
                 busy0 = _sys_busy_s()
         drain()  # drain the last dispatched train step (eval fetches inline)
         e2e_wall = time.perf_counter() - ts[n_trim - 1]
+        _mark("e2e window done")
         e2e_sys_busy = _sys_busy_s() - busy0
         # whole-process CPU over the window: ~1.0 x host cores means the
         # overlapped pipeline is CPU-saturated (decode + augment + the
