@@ -17,6 +17,8 @@ ViT training sustains ~78-94 TFLOP/s -> 46-56 clips/s. We use 50.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 _T_START = time.perf_counter()
@@ -28,6 +30,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import jax.numpy as jnp
 import numpy as np
+
+from bench_common import await_backend as _await_backend
 
 A100_CLIPS_PER_SEC_ESTIMATE = 50.0
 BATCH = int(os.environ.get("BENCH_BATCH", "12"))  # reference per-GPU batch (docs/TRAIN.md:20)
@@ -42,36 +46,29 @@ FLOPS_PER_CLIP = 3 * 0.361e12 + 0.361e12 + 0.02e12  # ~1.464 TF
 V5E_PEAK_FLOPS = 197e12  # bf16
 
 
-def _await_backend(max_wait_s: float = 900.0):
-    """The axon TPU tunnel occasionally drops for minutes at a time
-    (observed 2026-08-18: >1 h outage, 'Unable to initialize backend'
-    UNAVAILABLE errors). The driver runs this script once at round end; a
-    transient flap must not turn into a missing BENCH artifact, so probe
-    the backend with exponential backoff before doing real work."""
-    import time as _time
-
-    deadline = _time.monotonic() + max_wait_s
-    delay = 10.0
-    while True:
-        try:
-            devs = jax.devices()
-            # a failed TPU init can leave a cached CPU-only backend set;
-            # benchmarking CPU would be a silently bogus artifact
-            if all(d.platform == "cpu" for d in devs):
-                raise RuntimeError("only CPU devices visible; TPU tunnel down")
-            return
-        except RuntimeError as e:
-            if _time.monotonic() > deadline:
-                raise
-            print(f"# backend unavailable ({e}); retrying in {delay:.0f}s", flush=True)
-            try:  # drop any cached failed-init state before the retry
-                import jax.extend.backend as _jeb
-
-                _jeb.clear_backends()
-            except Exception:
-                pass
-            _time.sleep(delay)
-            delay = min(delay * 2, 120.0)
+def _run_sub(script: str, extra_args, timeout_s: float):
+    """Run a sub-benchmark script, return its last JSON line (or None).
+    On timeout, surface the child's stderr tail — it carries the
+    bench_common.mark() progress stamps that say which section ate the
+    budget (ADVICE r4: TimeoutExpired silently discarded them)."""
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)), script)]
+    cmd += list(extra_args)
+    try:
+        out = subprocess.run(cmd, timeout=timeout_s, capture_output=True,
+                             text=True)
+    except subprocess.TimeoutExpired as exc:
+        tail = (exc.stderr or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        for line in tail.strip().splitlines()[-6:]:
+            print(f"# {script} timeout; child stderr: {line}",
+                  file=sys.stderr, flush=True)
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
 
 
 def main():
@@ -177,69 +174,60 @@ def main():
     # best-effort end-to-end pipeline figure (decode -> host augment ->
     # prefetch -> step on real mp4s; see bench_pipeline.py). Never allowed
     # to sink the headline metric.
+    _PIPE_FIELDS = (
+        "host_clips_per_sec", "host_no_native_clips_per_sec",
+        "e2e_clips_per_sec", "e2e_vs_bound", "bound_clips_per_sec",
+        "bound_binding", "bound_host_clips_per_sec",
+        "bound_transfer_clips_per_sec", "bound_cpu_clips_per_sec",
+        "transfer_clips_per_sec", "bg_busy_frac_pre", "e2e_bg_busy_frac",
+        "e2e_attr_cpu_frac", "stage_transfer_MBps", "batch_bytes_mb",
+        "host_cores", "wire",
+    )
     try:
         if os.environ.get("BENCH_SKIP_PIPELINE"):
             raise RuntimeError("skipped")
-        import subprocess
-        import sys
-
         # a degraded relay can stall one attempt past any reasonable
         # timeout (observed: 42 s of CPU in 500 s of wall); retry once
-        # with a smaller window rather than drop the pipeline fields
-        # from the artifact of record
-        pipe = None
-        for attempt_timeout, batches in ((330, "3"), (300, "2")):
-            try:
-                out = subprocess.run(
-                    [sys.executable,
-                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "bench_pipeline.py"),
-                     "--batches", batches],
-                    timeout=attempt_timeout, capture_output=True, text=True,
-                )
-            except subprocess.TimeoutExpired:
-                continue
-            for line in reversed(out.stdout.strip().splitlines()):
-                if line.startswith("{"):
-                    pipe = json.loads(line)
-                    break
-            if pipe is not None:
-                break
+        # with a smaller window — but only while the eval-pipeline bench
+        # below still has room inside its 480 s gate (ADVICE r4: an
+        # unconditional retry silently starved it)
+        pipe = _run_sub("bench_pipeline.py", ["--batches", "3"], 330)
+        if pipe is None and time.perf_counter() - _T_START < 350:
+            pipe = _run_sub("bench_pipeline.py", ["--batches", "2"], 300)
         if pipe is not None:
-            result["host_clips_per_sec"] = pipe.get("host_clips_per_sec")
-            result["e2e_clips_per_sec"] = pipe.get("e2e_clips_per_sec")
-            result["e2e_vs_bound"] = pipe.get("e2e_vs_bound")
-            result["bound_clips_per_sec"] = pipe.get("bound_clips_per_sec")
-            result["transfer_clips_per_sec"] = pipe.get("transfer_clips_per_sec")
-            result["cpu_bound_clips_per_sec"] = pipe.get("cpu_bound_clips_per_sec")
-            result["e2e_sys_cpu_frac"] = pipe.get("e2e_sys_cpu_frac")
-            result["host_cores"] = pipe.get("host_cores")
+            for k in _PIPE_FIELDS:
+                if pipe.get(k) is not None:
+                    result[k] = pipe[k]
     except Exception:
         pass
     # best-effort SERVING pipeline figure (decode -> val transform ->
-    # transfer -> deterministic forward with per-batch logits fetch: the
-    # SCUBA/HAT/val protocol loop, which is decode-bound in practice —
-    # bench_pipeline.py --mode eval; VERDICT r3 item 8).
+    # I420 wire -> deterministic forward with per-batch logits fetch: the
+    # SCUBA/HAT/val protocol loop — bench_pipeline.py --mode eval;
+    # VERDICT r3 item 8, r4 item 3 adds the YUV wire + bound fields).
     try:
         if os.environ.get("BENCH_SKIP_PIPELINE"):
             raise RuntimeError("skipped")
         if time.perf_counter() - _T_START > 480:
             raise RuntimeError("over time budget")
-        import subprocess
-        import sys
-
-        out = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_pipeline.py"),
-             "--mode", "eval", "--batches", "3"],
-            timeout=330, capture_output=True, text=True,
-        )
-        for line in reversed(out.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                pipe = json.loads(line)
-                result["eval_e2e_clips_per_sec"] = pipe.get("e2e_clips_per_sec")
-                result["eval_host_clips_per_sec"] = pipe.get("host_clips_per_sec")
-                break
+        pipe = _run_sub("bench_pipeline.py", ["--mode", "eval", "--batches", "3"], 330)
+        if pipe is not None:
+            for k in _PIPE_FIELDS:
+                if pipe.get(k) is not None:
+                    result["eval_" + k] = pipe[k]
+    except Exception:
+        pass
+    # best-effort Segformer mask-path step figure (bench_segformer.py) so
+    # the Segformer optimization claim lives in a driver-captured artifact
+    # (VERDICT r4 item 8). Runs last; skipped when the budget is spent.
+    try:
+        if os.environ.get("BENCH_SKIP_PIPELINE"):
+            raise RuntimeError("skipped")
+        if time.perf_counter() - _T_START > 560:
+            raise RuntimeError("over time budget")
+        seg = _run_sub("bench_segformer.py", ["--steps", "4"], 240)
+        if seg is not None:
+            result["segformer_clips_per_sec"] = seg.get("value")
+            result["segformer_ms_per_step"] = seg.get("ms_per_step")
     except Exception:
         pass
     print(json.dumps(result))

