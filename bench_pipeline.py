@@ -109,6 +109,10 @@ class _TimedDataset:
     def __len__(self):
         return len(self.ds)
 
+    def set_epoch(self, epoch):
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(epoch)
+
     def __getitem__(self, i):
         t0 = time.perf_counter()
         out = self.ds[i]

@@ -64,6 +64,14 @@ class DataConfig:
     # the device (models built with input_norm=True) — 4x smaller
     # host->device transfers, ~30% host-side augmentation savings
     host_normalize: bool = True
+    # Deterministic per-(epoch, index) host augmentation + frame-sampling
+    # rng: a full run is bit-reproducible across processes (kill/resume
+    # trajectory equivalence, multihost rehearsals) while still drawing
+    # fresh augmentations every epoch. None restores OS-entropy draws.
+    # The reference DEFINES a seed_worker for exactly this but never wires
+    # it into its DataLoaders (ref utils/utils.py:190-193, SURVEY §5.2) —
+    # fixed here consciously.
+    aug_seed: object = 0  # Optional[int]
     # 'yuv420' repacks clips as I420 planes (half the uint8 bytes;
     # data/yuv.py) — requires host_normalize=False. Train batches are
     # unpacked inside the train step (train/step.py wire_format); val/test
@@ -86,6 +94,7 @@ class VideoDataset:
         self.hflip = hflip
         self.frame_dirs = frame_dirs
         self.tsn = tsn
+        self.epoch = 0  # advanced by DataLoader.set_epoch (cfg.aug_seed)
         if mode == "test":
             # flatten the (chunk, split) view grid (ref kinetics.py:105-122)
             self.views: List[Tuple[int, int, int]] = []
@@ -96,6 +105,21 @@ class VideoDataset:
 
     def __len__(self):
         return len(self.views) if self.mode == "test" else len(self.entries)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def _sample_rngs(self, index: int):
+        """(python rng for the augment chain, numpy rng for the frame
+        samplers), deterministic per (aug_seed, epoch, index) — or fresh
+        OS-entropy when cfg.aug_seed is None."""
+        if self.cfg.aug_seed is None:
+            return random.Random(), None
+        s = (
+            (int(self.cfg.aug_seed) * 1_000_003 + self.epoch) * 1_000_003
+            + index * 2 + 1
+        ) % (2**63)
+        return random.Random(s), np.random.default_rng(s ^ 0x9E3779B9)
 
     # -- decoding -----------------------------------------------------------
 
@@ -117,7 +141,7 @@ class VideoDataset:
                     break
         return open_video(path)
 
-    def _load_clip(self, entry: FilelistEntry, train: bool) -> np.ndarray:
+    def _load_clip(self, entry: FilelistEntry, train: bool, rng=None) -> np.ndarray:
         cfg = self.cfg
         reader = self._open(entry)
         try:
@@ -132,12 +156,14 @@ class VideoDataset:
                 return reader.get_batch(idx.tolist())
             if self.tsn:
                 idx = (
-                    tsn_train_indices(n, cfg.num_frames)
+                    tsn_train_indices(n, cfg.num_frames, rng=rng)
                     if train
                     else tsn_test_indices(n, cfg.num_frames, cfg.test_num_segment)
                 )
             elif train:
-                idx = train_window_indices(n, cfg.num_frames, cfg.sampling_rate)
+                idx = train_window_indices(
+                    n, cfg.num_frames, cfg.sampling_rate, rng=rng
+                )
             else:
                 idx = test_stride_indices(n, cfg.num_frames, cfg.sampling_rate)
             return reader.get_batch((idx + s).tolist())
@@ -165,8 +191,8 @@ class VideoDataset:
     def _train_item(self, index: int):
         cfg = self.cfg
         entry = self.entries[index]
-        buffer = self._load_clip(entry, train=True)
-        rng = random.Random()
+        rng, np_rng = self._sample_rngs(index)
+        buffer = self._load_clip(entry, train=True, rng=np_rng)
         if cfg.wire_format == "yuv420" and cfg.host_normalize:
             raise ValueError("wire_format='yuv420' requires host_normalize=False")
 

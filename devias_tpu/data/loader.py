@@ -83,6 +83,10 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        # propagate to the dataset's deterministic per-(epoch, index)
+        # augmentation rng (datasets.py DataConfig.aug_seed)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(

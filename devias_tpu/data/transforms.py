@@ -366,7 +366,14 @@ def random_erase_clip(
         if h < H and w < W:
             y = rng.randint(0, H - h)
             x = rng.randint(0, W - w)
-            noise = np.random.normal(size=(T, h, w, C)).astype(clip.dtype)
+            # noise drawn from the caller's rng stream, not global numpy
+            # entropy, so DataConfig.aug_seed makes the whole chain
+            # reproducible across processes
+            noise = (
+                np.random.default_rng(rng.getrandbits(63))
+                .normal(size=(T, h, w, C))
+                .astype(clip.dtype)
+            )
             clip = clip.copy()
             clip[:, y : y + h, x : x + w] = noise
             return clip

@@ -22,12 +22,35 @@ pure-JAX path (f32 softmax) to bf16 tolerance.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# exp2-folded softmax (DEVIAS_ATTN_EXP2=1 enables): fold log2(e) into the
+# q pre-scale so the row softmax evaluates e = 2^(s2 - m2) directly,
+# hoping to delete one full-width [bq, n] VPU multiply per exp. Exact
+# math: with S2 = S*log2(e), 2^(S2 - max S2) == exp(S - max S), and in
+# the backward the d(2^x)/dx ln2 factor cancels against the folded
+# log2(e), so dq/dk keep the ORIGINAL `scale` — verified by the
+# kernel-vs-XLA parity tests, which run green either way.
+# MEASURED NEUTRAL 2026-08-21 (in-step A/B, docs/PERF.md round 5:
+# 153.4 vs 153.5 ms/step): Mosaic's exp already lowers through exp2 with
+# the multiply fused, so there is no pass to save. Kept as an off-by-
+# default knob so the next person doesn't have to rebuild the experiment.
+_EXP2 = os.environ.get("DEVIAS_ATTN_EXP2", "0") == "1"
+_LOG2E = 1.4426950408889634
+
+
+def _softmax_scale(scale: float) -> float:
+    return scale * _LOG2E if _EXP2 else scale
+
+
+def _exp(x):
+    return jnp.exp2(x) if _EXP2 else jnp.exp(x)
 
 
 def _pick_block(n: int, preferred: int = 256) -> int:
@@ -65,14 +88,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     # matmuls are half-MXU at d=64), so: scale q (not s) on the tiny
     # [bq, d] block, and defer the softmax 1/rowsum past the e@V matmul —
     # the divide then runs on [bq, d] instead of [bq, n] (n/d = 24x less).
-    q = q_ref[0] * scale  # [bq, d]
+    q = q_ref[0] * _softmax_scale(scale)  # [bq, d]
     k = k_ref[0]  # [n, d]
     v = v_ref[0]  # [n, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, n]
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = _exp(s - m)
     l = e.sum(axis=-1, keepdims=True)
     o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = (o / l).astype(o_ref.dtype)
@@ -97,10 +120,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref,
     do = do_ref[0]  # input dtype (bf16): feeds the MXU directly
 
     s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q * _softmax_scale(scale), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)  # [bq, n] f32
+    e = _exp(s - m)  # [bq, n] f32  (dq/dk below keep the ORIGINAL scale:
+    # the exp2 backward's ln2 cancels the folded log2e exactly)
     inv_l = 1.0 / e.sum(axis=-1, keepdims=True)  # [bq, 1]
 
     d_row = jnp.sum(
@@ -225,7 +250,7 @@ def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, *stats_ref, scale: float, D: int)
     the output entirely (frozen-teacher and inference forwards should not
     pay the extra HBM writes)."""
     hpb = q_ref.shape[-1] // D
-    q = q_ref[0] * scale
+    q = q_ref[0] * _softmax_scale(scale)
     # software pipeline across the side-by-side heads: issue head h+1's
     # s-matmul (MXU) before head h's softmax (VPU), and head h's e@V before
     # head h+1's softmax — the units overlap instead of serializing.
@@ -247,7 +272,7 @@ def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, *stats_ref, scale: float, D: int)
         if h + 1 < hpb:
             s_next = _s(h + 1)  # MXU ahead of this head's VPU work
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = _exp(s - m)
         # the exp-sum l rides the e@V matmul as a ones-column appended to
         # the V tile: at D=64 the dot fills only half the MXU's 128 output
         # lanes, so the extra column is free MXU work and replaces a
@@ -299,7 +324,8 @@ def _bwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, do_ref, stats_ref,
     for h in range(hpb):
         sl = slice(h * D, (h + 1) * D)
         s_all.append(jax.lax.dot_general(
-            q_ref[0, :, sl] * scale, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            q_ref[0, :, sl] * _softmax_scale(scale), k_ref[0, :, sl],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
     for h in range(hpb):
@@ -312,7 +338,7 @@ def _bwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, do_ref, stats_ref,
             preferred_element_type=jnp.float32,
         )
         m = stats_ref[0, 0, :, h][:, None]
-        e = jnp.exp(s_all[h] - m)
+        e = _exp(s_all[h] - m)
         inv_l = (1.0 / stats_ref[0, 0, :, hpb + h])[:, None]
         d_row = jnp.sum(
             do.astype(jnp.float32) * o_ref[0, :, sl].astype(jnp.float32),
