@@ -29,3 +29,6 @@ check-tpu:
 
 overfit-check:
 	python scripts/full_scale_overfit.py
+
+health-check:
+	python scripts/health_run.py

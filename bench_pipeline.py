@@ -21,7 +21,11 @@ Measures solo-stage rates as diagnostics and prints ONE JSON line:
                           (same figure bench.py reports)
   e2e_clips_per_sec     — loader + device_prefetch + train step overlapped,
                           i.e. what a real training run sustains, measured
-                          over a trimmed steady-state window
+                          over a trimmed steady-state window that EXTENDS
+                          ITSELF until the loader produced (within one
+                          batch) what the window consumed — queue-drain
+                          cannot inflate the figure (e2e_produced_batches
+                          carries the proof)
 
 The BOUND is computed entirely from measurements taken INSIDE the e2e
 window (the round-4 bound mixed solo windows measured minutes apart; the
@@ -243,7 +247,12 @@ def main():
             seen += b["videos"].shape[0]
         host_dt = time.perf_counter() - t0
         mark("host window done")
-        cpu_host = CpuWindow.delta(c0, cpu.snap())["attr_s"] / n_clips
+        host_cpu_d = CpuWindow.delta(c0, cpu.snap())
+        cpu_host = host_cpu_d["attr_s"] / n_clips
+        # contention DURING the host window itself (bg_busy_frac_pre is a
+        # sample taken before it): a below-par host figure must be
+        # attributable either to the path or to a busy container
+        host_bg_frac = host_cpu_d["bg_s"] / host_cpu_d["wall_s"] / cores
         host_rate = n_clips / host_dt
 
         # --- host A/B: C++ augment core off (train mode only; the val
@@ -265,6 +274,12 @@ def main():
             finally:
                 na._LIB, na._SEARCHED = saved
             mark("host A/B window done")
+        # stop the host-window loader's threads: a live zombie producer
+        # would keep burning decode CPU into the later windows' per-process
+        # accounting and its getitem walls would contaminate the e2e
+        # window's host-term sample set (a second concurrent worker breaks
+        # the Σwall <= workers x W soundness argument)
+        it.close()
 
         # --- model + step (flagship geometry) ---
         model = create_model(
@@ -414,15 +429,24 @@ def main():
         # steady-state window: run n_trim + n_meas batches, drop the first
         # n_trim (they drain pre-filled prefetch queues — loader prefetch +
         # bridge + pending uploads + consumer queue — and would inflate
-        # the rate past the host production rate). Trim must exceed the
-        # total host-side buffer depth (~5 batches with the small buffers
-        # above); e2e_produced_batches in the JSON proves the window was
-        # production-balanced.
+        # the rate past the host production rate), then EXTEND the window
+        # until it is production-balanced: consumption is only a
+        # sustainable rate if the loader produced (within one batch) what
+        # the window consumed — otherwise the figure is part queue-drain
+        # (caught twice in round 5: decode caches make in-window production
+        # faster than the cold solo window, so drain hides easily).
         n_trim = 8
         n_meas = max(args.batches, 8)
+        n_cap = n_meas + 24  # keep a degraded relay inside the time budget
         ts = []
         w_c0 = cpu.snap()  # re-captured at the window start below
-        for i in range(n_trim + n_meas):
+
+        def produced_since(t_from):
+            return sum(1 for (t, _) in ds.rec if t >= t_from) / B
+
+        i = 0
+        w_start = None
+        while True:
             t0 = time.perf_counter()
             batch = next(it)
             wait = time.perf_counter() - t0
@@ -435,13 +459,22 @@ def main():
             ts.append(time.perf_counter())
             if i == n_trim - 1:
                 w_c0 = cpu.snap()
+                w_start = ts[-1]
+            consumed = i + 1 - n_trim
+            if consumed >= n_meas and (
+                consumed >= n_cap
+                or produced_since(w_start) >= consumed - 1
+            ):
+                break
+            i += 1
+        n_meas = consumed
         drain()  # drain the last dispatched train step (eval fetches inline)
         w_end = time.perf_counter()
         mark("e2e window done")
         w_cpu = CpuWindow.delta(w_c0, cpu.snap())
-        w_start = ts[n_trim - 1]
         e2e_wall = w_end - w_start
         e2e_rate = n_meas * B / e2e_wall
+        produced_batches = produced_since(w_start)
         it.close()  # join the transfer thread before interpreter teardown
 
     if args.debug_stages:
@@ -512,6 +545,7 @@ def main():
                 if np.isfinite(bound_cpu) else None,
                 # contention telemetry
                 "bg_busy_frac_pre": round(bg_pre, 3),
+                "host_bg_busy_frac": round(host_bg_frac, 3),
                 "e2e_bg_busy_frac": round(
                     w_cpu["bg_s"] / w_cpu["wall_s"] / cores, 3),
                 "e2e_attr_cpu_frac": round(
@@ -531,8 +565,9 @@ def main():
                 # production-balance proof: clips the loader PRODUCED
                 # inside the window / B. ~= measured_batches means the
                 # window consumed what it produced (steady state); much
-                # lower means queue drain inflated e2e
-                "e2e_produced_batches": round(len(host_w) / B, 1),
+                # lower means queue drain inflated e2e (the window above
+                # extends itself until balanced or capped)
+                "e2e_produced_batches": round(produced_batches, 1),
                 "inflight": args.inflight,
                 "num_workers": args.num_workers,
                 "host_cores": cores,
