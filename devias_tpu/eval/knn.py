@@ -56,20 +56,30 @@ def extract_slot_features(
     """feature_fn(videos) -> (action_feat, scene_feat); optional
     scene_label_fn(videos) -> teacher logits for pseudo scene labels
     (ref run_knn.py:28-120)."""
+    from devias_tpu.eval.protocols import _pipelined
+
     a_feats, s_feats, a_labels, s_labels = [], [], [], []
-    for batch in loader:
+
+    # double-buffered dispatch/fetch (eval/protocols.py::_pipelined): the
+    # feature download for batch i-1 overlaps batch i's forward
+    def dispatch(batch):
         videos = batch["videos"]
         n = videos.shape[0]
         if n < batch_size:
             pad = np.repeat(videos[-1:], batch_size - n, axis=0)
             videos = np.concatenate([videos, pad], 0)
-        af, sf = jax.device_get(feature_fn(videos))
+        handles = (
+            feature_fn(videos),
+            scene_label_fn(videos) if scene_label_fn is not None else None,
+        )
+        return handles, (batch, n)
+
+    for ((af, sf), teacher_out), (batch, n) in _pipelined(loader, dispatch):
         a_feats.append(np.asarray(af)[:n])
         s_feats.append(np.asarray(sf)[:n])
         a_labels.append(np.asarray(batch["labels"])[:n])
-        if scene_label_fn is not None:
-            t = np.asarray(jax.device_get(scene_label_fn(videos)))[:n]
-            s_labels.append(t.argmax(axis=-1))
+        if teacher_out is not None:
+            s_labels.append(np.asarray(teacher_out)[:n].argmax(axis=-1))
         elif "scene_labels" in batch:
             s_labels.append(np.asarray(batch["scene_labels"])[:n])
     return (
