@@ -225,13 +225,29 @@ def main():
     except Exception:
         pass
     print(json.dumps(result), flush=True)
+    # late retry for the TRAIN pipeline figures: a relay-degradation
+    # episode during the first attempts (observed: compile stuck >300 s,
+    # then healthy minutes later) should not cost the artifact its train
+    # e2e/bound fields when the budget still has room
+    try:
+        if os.environ.get("BENCH_SKIP_PIPELINE"):
+            raise RuntimeError("skipped")
+        if "e2e_clips_per_sec" not in result and time.perf_counter() - _T_START < 650:
+            pipe = _run_sub("bench_pipeline.py", ["--batches", "3"], 330)
+            if pipe is not None:
+                for k in _PIPE_FIELDS:
+                    if pipe.get(k) is not None:
+                        result[k] = pipe[k]
+    except Exception:
+        pass
+    print(json.dumps(result), flush=True)
     # best-effort Segformer mask-path step figure (bench_segformer.py) so
     # the Segformer optimization claim lives in a driver-captured artifact
     # (VERDICT r4 item 8). Runs last; skipped when the budget is spent.
     try:
         if os.environ.get("BENCH_SKIP_PIPELINE"):
             raise RuntimeError("skipped")
-        if time.perf_counter() - _T_START > 560:
+        if time.perf_counter() - _T_START > 700:
             raise RuntimeError("over time budget")
         seg = _run_sub("bench_segformer.py", ["--steps", "4"], 240)
         if seg is not None:
