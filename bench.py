@@ -181,7 +181,8 @@ def main():
     # prefetch -> step on real mp4s; see bench_pipeline.py). Never allowed
     # to sink the headline metric.
     _PIPE_FIELDS = (
-        "host_clips_per_sec", "host_no_native_clips_per_sec",
+        "host_clips_per_sec", "augment_clips_per_sec",
+        "augment_no_native_clips_per_sec",
         "e2e_clips_per_sec", "e2e_vs_bound", "bound_clips_per_sec",
         "bound_binding", "bound_host_clips_per_sec",
         "bound_transfer_clips_per_sec", "bound_cpu_clips_per_sec",

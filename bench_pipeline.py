@@ -15,8 +15,10 @@ Measures solo-stage rates as diagnostics and prints ONE JSON line:
 
   host_clips_per_sec    — decode + sample + RandAugment/crop/flip alone
                           (loader iterated, nothing sent to the device)
-  host_no_native_clips_per_sec — same with the C++ augment core disabled
-                          (the DEVIAS_NO_NATIVE_AUGMENT A/B, train mode)
+  augment_(no_native_)clips_per_sec — the augment stage alone over one
+                          pre-decoded buffer, C++ core on/off (the
+                          native-augment A/B; same-buffer staging so
+                          page-cache warmth can't tilt the comparison)
   device_clips_per_sec  — the jitted train step on a preloaded batch
                           (same figure bench.py reports)
   e2e_clips_per_sec     — loader + device_prefetch + train step overlapped,
@@ -255,25 +257,40 @@ def main():
         host_bg_frac = host_cpu_d["bg_s"] / host_cpu_d["wall_s"] / cores
         host_rate = n_clips / host_dt
 
-        # --- host A/B: C++ augment core off (train mode only; the val
-        # chain doesn't use the native ops) — makes the native-augment
-        # uplift visible in the artifact itself (VERDICT r4 item 2)
-        host_rate_no_native = None
+        # --- native-augment A/B on the AUGMENT STAGE alone (train mode;
+        # the val chain doesn't use the native ops): one pre-decoded
+        # buffer, timed through train_augment with the C++ core on then
+        # off. Running the A/B through the full loader let page-cache
+        # warmth favor whichever window ran second (observed inverting
+        # the comparison); same-buffer staging isolates exactly what the
+        # native core changes (VERDICT r4 item 2).
+        aug_rate = aug_rate_no_native = None
         if not eval_mode:
-            import devias_tpu.data.native_augment as na
+            import random as _random
 
+            import devias_tpu.data.native_augment as na
+            from devias_tpu.data import transforms as T
+
+            buf = ds0._load_clip(ds0.entries[0], train=True)
+
+            def time_augment(n=24):
+                rng = _random.Random(0)
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    T.train_augment(buf, args.input, rng=rng,
+                                    host_normalize=False)
+                return n / (time.perf_counter() - t0)
+
+            time_augment(4)  # warm both the buffer path and the lib
+            aug_rate = time_augment()
             saved = (na._LIB, na._SEARCHED)
             na._LIB, na._SEARCHED = None, True  # force the numpy/cv2 path
             try:
-                n_ab = max(2 * B, 24)
-                t0 = time.perf_counter()
-                seen = 0
-                while seen < n_ab:
-                    seen += next(it)["videos"].shape[0]
-                host_rate_no_native = seen / (time.perf_counter() - t0)
+                time_augment(4)
+                aug_rate_no_native = time_augment()
             finally:
                 na._LIB, na._SEARCHED = saved
-            mark("host A/B window done")
+            mark("augment A/B done")
         # stop the host-window loader's threads: a live zombie producer
         # would keep burning decode CPU into the later windows' per-process
         # accounting and its getitem walls would contaminate the e2e
@@ -536,8 +553,10 @@ def main():
                 "unit": "clips/sec/chip",
                 # solo diagnostics
                 "host_clips_per_sec": round(host_rate, 2),
-                "host_no_native_clips_per_sec": round(host_rate_no_native, 2)
-                if host_rate_no_native else None,
+                "augment_clips_per_sec": round(aug_rate, 2)
+                if aug_rate else None,
+                "augment_no_native_clips_per_sec": round(aug_rate_no_native, 2)
+                if aug_rate_no_native else None,
                 "device_clips_per_sec": round(dev_rate, 2),
                 "transfer_clips_per_sec": round(solo_xfer_rate, 2),
                 "cpu_host_s_per_clip": round(cpu_host, 4),
