@@ -250,7 +250,7 @@ def main():
             raise RuntimeError("skipped")
         if time.perf_counter() - _T_START > 700:
             raise RuntimeError("over time budget")
-        seg = _run_sub("bench_segformer.py", ["--steps", "4"], 240)
+        seg = _run_sub("bench_segformer.py", [], 240)
         if seg is not None:
             result["segformer_clips_per_sec"] = seg.get("value")
             result["segformer_ms_per_step"] = seg.get("ms_per_step")
